@@ -1,0 +1,114 @@
+"""End-to-end replay oracle (SURVEY.md §5.2): full CDC ingest vs a
+pure-pandas reference reduction — per-row sha256(content) equality,
+including after restart-from-checkpoint replay (the north-star parity
+contract, BASELINE.json)."""
+
+import hashlib
+import json
+
+import pandas as pd
+import pytest
+
+from kafka_connect_converter_json_spark.sources.cdc_gen import gen_events
+from kafka_connect_converter_json_spark.streaming.ingest import default_config, ingest
+
+N_EVENTS = 2000
+
+
+def _oracle_final_state(events_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas replay: LWW per (repo,path) by lsn, deletes drop rows.
+
+    Independently re-derives (repo,path,commit,lang,content) from the raw
+    envelopes — no engine code involved.
+    """
+    state: dict[tuple, dict] = {}
+    for row in events_pdf.sort_values("lsn").itertuples():
+        key = (row.repo, row.path)
+        if row.op == "d":
+            state.pop(key, None)
+        else:
+            env = json.loads(row.value_json)
+            state[key] = {
+                "repo": env["meta"]["repo"],
+                "path": env["meta"]["path"],
+                "commit": env["commit"]["id"],
+                "lang": env["lang"],
+                "content": env["content"],
+                "lsn": row.lsn,
+            }
+    out = pd.DataFrame(list(state.values()))
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _state_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+    h = hashlib.sha256()
+    for row in pdf.itertuples():
+        h.update(
+            "|".join(
+                [
+                    row.repo,
+                    row.path,
+                    row.commit,
+                    row.lang,
+                    hashlib.sha256(row.content.encode()).hexdigest(),
+                    str(row.lsn),
+                ]
+            ).encode()
+        )
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return gen_events(spark, N_EVENTS, n_repos=20, paths_per_repo=30, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle(events):
+    return _oracle_final_state(
+        events.select("lsn", "op", "repo", "path", "value_json").toPandas()
+    )
+
+
+def _read_state(sink) -> pd.DataFrame:
+    return sink.read().select("repo", "path", "commit", "lang", "content", "lsn").toPandas()
+
+
+@pytest.mark.parametrize("parse_mode", ["native", "reference"])
+def test_full_replay_sha256_parity(spark, events, oracle, tmp_path, parse_mode):
+    sink = ingest(
+        spark, events, str(tmp_path / f"tbl_{parse_mode}"), N_EVENTS, n_epochs=4,
+        parse_mode=parse_mode, num_buckets=8,
+    )
+    got = _read_state(sink)
+    assert _state_hash(got) == _state_hash(oracle)
+
+
+def test_crash_resume_replay_is_byte_identical(spark, events, oracle, tmp_path):
+    root = str(tmp_path / "tbl_resume")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest(spark, events, root, N_EVENTS, n_epochs=5, fail_after_epochs=2, num_buckets=8)
+    # resume from checkpoint (manifest): committed epochs are skipped
+    sink = ingest(spark, events, root, N_EVENTS, n_epochs=5, num_buckets=8)
+    assert _state_hash(_read_state(sink)) == _state_hash(oracle)
+    # exactly 5 epochs committed, no duplicates
+    assert sorted(e["epoch"] for e in sink._manifest["epochs"]) == [0, 1, 2, 3, 4]
+
+
+def test_idempotent_epoch_redelivery(spark, events, oracle, tmp_path):
+    root = str(tmp_path / "tbl_idem")
+    sink = ingest(spark, events, root, N_EVENTS, n_epochs=3, num_buckets=8)
+    before = _state_hash(_read_state(sink))
+    # redeliver every epoch: must be a no-op (N6)
+    sink2 = ingest(spark, events, root, N_EVENTS, n_epochs=3, num_buckets=8)
+    assert _state_hash(_read_state(sink2)) == before == _state_hash(oracle)
+
+
+def test_lineage_rows_cover_all_partitions(spark, events, tmp_path):
+    sink = ingest(spark, events, str(tmp_path / "tbl_lin"), N_EVENTS, n_epochs=2, num_buckets=8)
+    lin = sink.read_lineage().toPandas()
+    assert set(lin["epoch"]) == {0, 1}
+    assert lin["n_events"].sum() == N_EVENTS
+    # offsets are per-partition contiguous ranges of the source stream
+    assert (lin["max_offset"] >= lin["min_offset"]).all()
