@@ -1,0 +1,235 @@
+"""Deduplication families for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(shingle -> minhash signature -> band buckets -> candidate join), and
+SimHash (bitwise majority over token hashes). All built from DataFrame
+ops; the only Python is plan construction.
+
+Scale notes (the 100 TB story):
+
+- **exact_duplicates**: one shuffle on the 32-hex md5 key; map-side
+  combine collapses per-partition duplicates first. Fingerprint, don't
+  shuffle full text.
+- **ngram-Jaccard**: the naive all-pairs join is O(n^2) — never shipped.
+  The shingle self-join is the inverted-index form: shuffle keyed by
+  shingle, pairs generated only where a shingle co-occurs. Frequent
+  shingles are the skew hazard: ``max_shingle_freq`` drops
+  super-frequent shingles (stopword shingles match everything and
+  contribute candidates without discriminating — standard df-cut).
+- **MinHash+LSH**: signatures are k aggregations over the exploded
+  shingle table (one shuffle on doc id); banding turns near-dup search
+  into an equality join on band keys — O(candidates), not O(n^2).
+  MinHash here is *lexicographic min of md5(seed:shingle)* — a valid
+  min-wise permutation family that is reproducible in any engine with
+  md5 (the DuckDB oracle runs the identical formula).
+- **SimHash**: 64 weighted bit-majorities per doc — one groupBy over
+  exploded tokens; near-dup candidates join on rotated prefix bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup over normalized text: one row per duplicate group with
+    the representative (min id) and the group size. Only groups with >1
+    member are returned (the dedup 'kill list' generator)."""
+    fp = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
+    split -> transform(sequence) -> explode -> distinct."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_sh = F.size(toks) - (n - 1)
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) == n)  # guard short docs
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Inverted-index join: pairs are only generated for docs sharing a
+    shingle. ``max_shingle_freq`` is the df-cut that bounds the skew of
+    the self-join (a shingle appearing in f docs contributes f^2/2
+    candidate pairs)."""
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    joinable = sh
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+
+    a = joinable.select(F.col("shingle"), F.col("id").alias("id_a"))
+    b = joinable.select(F.col("shingle"), F.col("id").alias("id_b"))
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5(f"{i}:" + shingle) (lexicographic min of a keyed hash — a
+    min-wise family reproducible across engines). One shuffle."""
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    r = num_hashes/bands rows; docs sharing any full band are candidates.
+    Matching probability for Jaccard s is 1-(1-s^r)^bands."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * r + j}") for j in range(r)]).alias("band")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col("id"), F.explode(F.array(*band_cols)).alias("band"))
+    a = banded.select("band", F.col("id").alias("id_a"))
+    b_ = banded.select("band", F.col("id").alias("id_b"))
+    return (
+        a.join(b_, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64; bit b of the result is
+    the majority vote of bit b across tokens. One groupBy over exploded
+    tokens; the 64 conditional sums stay in one whole-stage-codegen'd
+    aggregate."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        # bitwise OR accumulation — safe for the sign bit (b=63)
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation by band equality; pigeonhole: distance <= bands-1
+    guarantees at least one equal band, so ``bands`` defaults to the
+    smallest power-of-two divisor of 64 that is >= max_hamming+1 — exact
+    (no missed pairs), then bit_count(xor) re-checks precisely."""
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    sig = simhash(df, text_col, id_col)
+    width = 64 // bands
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("string"),
+        ).alias("band")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", "simhash", F.explode(F.array(*band_cols)).alias("band"))
+    a = banded.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b_ = banded.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b_, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

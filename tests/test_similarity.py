@@ -1,0 +1,76 @@
+"""ANN similarity search over the embeddings testdata."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_converter_json_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _py_cosine(a, b):
+    dot = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(x) ** 2 for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_topk_matches_python_oracle(spark, emb):
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sim.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos))
+    for qid in (0, 1, 2):
+        scores = sorted(
+            ((round(_py_cosine(vecs[qid], v), 4), -i) for i, v in vecs.items() if i != qid),
+            reverse=True,
+        )[:5]
+        expected = [(-negid, c) for c, negid in scores]
+        actual = [(r[1], r[2]) for r in sorted(by_q[qid])]
+        assert [e[0] for e in expected] == [a[0] for a in actual]
+        for e, a in zip(expected, actual):
+            assert abs(e[1] - a[1]) < 1e-3
+
+
+def test_topk_excludes_self_and_respects_k(emb):
+    out = sim.cosine_topk(emb, emb.limit(2), k=3).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert len(out) == 6
+
+
+def test_lsh_topk_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    approx = sim.lsh_bucket_topk(emb, queries, k=10, bits=3, tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.3  # lsh is approximate; sanity floor
+
+
+def test_sketch_deterministic(spark, emb):
+    a = {r.vec_id: r.s for r in emb.limit(20).select("vec_id", sim.hyperplane_sketch(F.col("embedding"), 8).alias("s")).collect()}
+    b = {r.vec_id: r.s for r in emb.limit(20).select("vec_id", sim.hyperplane_sketch(F.col("embedding"), 8).alias("s")).collect()}
+    assert a == b
+
+
+def test_cosine_near_pairs_symmetric_ordering(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.05, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = sim.cosine_near_pairs(df, threshold=0.9, bits=2, tables=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}

@@ -1,0 +1,118 @@
+"""Text analysis + dedup families over the documents testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_converter_json_spark.operators import text as tx
+from kafka_connect_converter_json_spark.operators import textdedup as td
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], "text string"
+    ).select(tx.token_count(F.col("text")).alias("n"))
+    assert [r.n for r in df.collect()] == [3, 0, 0, 1]
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("foo123 bar, baz!",)], "text string")
+    # foo,123,bar,',',baz,'!' -> 6
+    assert df.select(tx.bpe_token_count(F.col("text")).alias("n")).collect()[0].n == 6
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        ("the cat and the dog is here",),
+        ("der hund und die katze ist da",),
+        ("xyzzy plugh",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r.l for r in df.select(tx.lang_id(F.col("text")).alias("l")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_features_ranges(docs):
+    q = tx.quality_features(docs).collect()
+    for r in q:
+        assert 0.0 <= r.alpha_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert r.n_tokens >= 0
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text here")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: (r.exact_fp, r.winnow_fp) for r in tx.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same   TEXT"), (3, "unique")], "doc_id long, text string"
+    )
+    groups = td.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0].representative == 1 and groups[0].group_size == 2
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = sorted(r.shingle for r in td.shingle_table(df, n=3).collect())
+    assert sh == ["a b c", "b c d"]
+    # doc shorter than n -> no shingles
+    df2 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert td.shingle_table(df2, n=3).count() == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = td.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (1, 2) and p.jaccard > 0.5
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tomorrow")), (3, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "doc_id long, text string",
+    )
+    cands = {(r.id_a, r.id_b) for r in td.minhash_lsh_candidates(df, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_simhash_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "totally other words qrs tuv wxy zab cde fgh")],
+        "doc_id long, text string",
+    )
+    sig = {r.id: r.simhash for r in td.simhash(df).collect()}
+    assert sig[1] != sig[3]
+    pairs = {(r.id_a, r.id_b) for r in td.simhash_near_pairs(df, max_hamming=12).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r.id: r.simhash for r in td.simhash(docs.limit(50)).collect()}
+    b = {r.id: r.simhash for r in td.simhash(docs.limit(50)).collect()}
+    assert a == b
