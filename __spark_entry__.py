@@ -1,38 +1,727 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC ingest pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (converter semantics, CDC/LWW relational layer, and the
+training-data-pipeline operators); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible entry. Column names/aliases are
+kept identical on both sides (the driver sorts columns by name and
+hashes values).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: deterministic CDC event stream -> vectorized envelope
+    conversion -> LWW dedup -> final (repo,path,commit,lang,content)
+    state with per-row content sha256 (the parity column)."""
+    _utc(spark)
+    from kafka_connect_converter_json_spark.operators.dedup import lww_apply_cdc
+    from kafka_connect_converter_json_spark.sources.cdc_gen import gen_events
+    from kafka_connect_converter_json_spark.streaming.ingest import (
+        convert_events,
+        default_config,
+        infer_envelope_schema,
+    )
 
+    events = gen_events(spark, 5000, n_repos=25, paths_per_repo=40, seed=42)
+    schema = infer_envelope_schema(spark, events, "value_json")
+    typed = convert_events(events, default_config(), "native", schema)
+    final = lww_apply_cdc(
+        typed.select("repo", "path", "commit", "lang", "content", "lsn", "op"),
+        ["repo", "path"],
+        "lsn",
+    )
+    return final.withColumn("content_sha", F.sha2("content", 256))
+
+
+# ---------------------------------------------------------------------------
+# converter-semantics queries (SURVEY.md §2.1) over the events table
+# ---------------------------------------------------------------------------
+
+def q_extract_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9/O10/O12: dotted-path key extraction + stringify-cast, JVM fast
+    path (get_json_object) + canonical payload (O15)."""
+    from kafka_connect_converter_json_spark.operators.extract import convert_stream
+    from kafka_connect_converter_json_spark.streaming.ingest import default_config  # noqa: F401
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("K"),
+        F.regexp_replace("props", '": ', '":').alias("PAYLOAD"),
+    )
+
+
+def q_convert_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: the full mapInPandas reference-semantics converter (parse ->
+    identify -> extract -> canonical payload) over events.props."""
+    from kafka_connect_converter_json_spark.config import ConverterConfig, IdentifierRule
+    from kafka_connect_converter_json_spark.operators.extract import convert_stream
+
+    cfg = ConverterConfig(
+        payload_field_name="payload",
+        schema_names=("EventProps",),
+        keys={"EventProps": {"k": "k"}},
+        identifiers=(IdentifierRule("EventProps", ("k",), "true"),),
+        uppercase=True,
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("props").alias("value_json"))
+    out = convert_stream(ev, cfg, passthrough=("event_id",))
+    return out.select("event_id", "schema_name", "K", "PAYLOAD")
+
+
+def q_identify_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: ordered identifier probes (equality before existence,
+    first match wins), counted per identified schema."""
+    from kafka_connect_converter_json_spark.config import (
+        ConverterConfig,
+        IdentifierRule,
+    )
+    from kafka_connect_converter_json_spark.operators.identify import identify_expr
+
+    cfg = ConverterConfig(
+        schema_names=("ZeroK", "AnyK"),
+        keys={"ZeroK": {"k": "k"}, "AnyK": {"k": "k"}},
+        identifiers=(
+            IdentifierRule("ZeroK", ("k",), "0"),
+            IdentifierRule("AnyK", ("k",), "true"),
+        ),
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(identify_expr(cfg, "props"))
+        .groupBy("schema_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_admission_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: early admission filter — declared event types pass, others are
+    counted into the quarantine channel (O19)."""
+    ev = _t(spark, sf_dir, "events")
+    declared = ["click", "view", "purchase"]
+    return (
+        ev.withColumn(
+            "channel",
+            F.when(F.col("event_type").isin(declared), F.lit("admitted")).otherwise(
+                F.lit("quarantined")
+            ),
+        )
+        .groupBy("channel", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tombstone_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: tombstone passthrough — null envelopes counted per channel."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_json", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("props"))
+    )
+    return ev.groupBy(
+        F.when(F.col("value_json").isNull(), F.lit("tombstone")).otherwise(F.lit("data")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
+
+
+def q_stringify_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13/O14: logical-type stringification — timestamp -> ISO string,
+    double -> scale-preserving decimal string, long -> string."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts_iso"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value_str"),
+        F.col("user_id").cast("string").alias("user_str"),
+    )
+
+
+def q_case_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: target-identifier case folding (uppercase default)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("N_NATIONKEY"),
+        F.upper("n_name").alias("N_NAME"),
+        F.col("n_regionkey").alias("N_REGIONKEY"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / relational queries (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: last-writer-wins per user_id by event_id (max_by partial+final
+    aggregation — one shuffle with map-side combine)."""
+    from kafka_connect_converter_json_spark.operators.dedup import lww_latest
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return lww_latest(ev, ["user_id"], "event_id")
+
+
+def q_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: same result via the skew-defeating salted two-level reduce."""
+    from kafka_connect_converter_json_spark.operators.dedup import lww_latest_salted
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return lww_latest_salted(ev, ["user_id"], "event_id", salt_buckets=16)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3+N5 semantics: collapse an event stream to final state where the
+    latest event wins and 'error' acts as the delete op."""
+    from kafka_connect_converter_json_spark.operators.dedup import lww_apply_cdc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        "event_type", "value",
+    )
+    return lww_apply_cdc(ev, ["user_id"], "lsn", delete_op="d")
+
+
+def q_engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end converter proof: build JSON envelopes from documents,
+    run the reference-semantics mapInPandas converter, and land typed
+    columns — the oracle recomputes them relationally (no JSON at all)."""
+    from kafka_connect_converter_json_spark.config import ConverterConfig, IdentifierRule
+    from kafka_connect_converter_json_spark.operators.extract import convert_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    envelopes = docs.select(
+        F.col("doc_id"),
+        F.to_json(
+            F.struct(
+                F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias("meta"),
+                F.col("source").alias("source"),
+                F.col("text").alias("content"),
+            )
+        ).alias("value_json"),
+    )
+    cfg = ConverterConfig(
+        payload_field_name="payload",
+        schema_names=("Doc",),
+        keys={"Doc": {"meta.id": "doc_id_str", "meta.lang": "lang", "content": "content"}},
+        identifiers=(IdentifierRule("Doc", ("meta", "id"), "true"),),
+        uppercase=False,
+    )
+    out = convert_stream(envelopes, cfg, passthrough=("doc_id",))
+    return out.select(
+        "doc_id",
+        "doc_id_str",
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate: decimal sums (order-independent, exact)
+    with filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("string").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("string").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join: orders x customer (small dim broadcast, no shuffle
+    of the fact side), aggregated per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total"),
+        )
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: top-3 orders per customer by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copy — guarantees near/exact dup structure
+    deterministically (both engines construct the same union)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    near = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzyzx")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-md5 groups with representative + size."""
+    from kafka_connect_converter_json_spark.operators.textdedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index shingle join."""
+    from kafka_connect_converter_json_spark.operators.textdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.8, max_shingle_freq=None
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (lexicographic min of keyed md5 — engine-portable)."""
+    from kafka_connect_converter_json_spark.operators.textdedup import minhash_signatures
+
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=6
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs over the dup-injected corpus."""
+    from kafka_connect_converter_json_spark.operators.textdedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs_with_dups(spark, sf_dir), n=3, num_hashes=6, bands=2
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only check: 64-bit bit-majority
+    arithmetic is not portably expressible in the oracle dialect)."""
+    from kafka_connect_converter_json_spark.operators.textdedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<5 (exact ANN
+    baseline; scores rounded to 4dp for cross-engine determinism)."""
+    from kafka_connect_converter_json_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (scale path; rows-only check — candidates
+    depend on the hyperplane sketches, deterministic but not SQL)."""
+    from kafka_connect_converter_json_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, bits=4, tables=4)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    from kafka_connect_converter_json_spark.operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker n-gram heuristic (argmax of marker counts)."""
+    from kafka_connect_converter_json_spark.operators.text import lang_id, lang_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        *[scores[lg].alias(f"s_{lg}") for lg in sorted(scores)],
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/alpha features + blended score."""
+    from kafka_connect_converter_json_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized md5 + winnowing window-min."""
+    from kafka_connect_converter_json_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata projection over opaque binary payloads —
+    byte length + sha256 without decode (documents.text as the payload)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(payload, 256)).alias("payload_sha"),
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector plumbing: dimension + L2 norm (rounded) per embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return emb.select(
+        "vec_id", F.size("embedding").alias("dim"), F.round(norm, 4).alias("l2_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_keys": q_extract_keys,
+        "convert_full": q_convert_full,
+        "identify_schema": q_identify_schema,
+        "admission_filter": q_admission_filter,
+        "tombstone_split": q_tombstone_split,
+        "stringify_logical": q_stringify_logical,
+        "case_fold": q_case_fold,
+        "lww_dedup": q_lww_dedup,
+        "lww_salted": q_lww_salted,
+        "cdc_apply": q_cdc_apply,
+        "engine_ingest": q_engine_ingest,
+        "agg_pushdown": q_agg_pushdown,
+        "join_broadcast": q_join_broadcast,
+        "window_topk": q_window_topk,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "embedding_norms": q_embedding_norms,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# DuckDB-side helpers reused across oracles
+_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len({t})-1, 1)), "
+    "i -> array_to_string({t}[i:i+2], ' ')))"
+)
+
+
+def _dup_union_sql() -> str:
+    return """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zzyzx' AS text
+      FROM documents WHERE doc_id % 10 = 1
     """
-    return {}
+
+
+def _shingle_cte(src: str = "documents") -> str:
+    norm = _NORM.format(c="text")
+    return f"""
+      toks AS (SELECT doc_id AS id, string_split({norm}, ' ') AS t FROM {src}),
+      sh AS (
+        SELECT id, unnest({_SHINGLES3.format(t='t')}) AS shingle
+        FROM toks WHERE len(t) >= 3
+      )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM.format(c="text")
+    lang_score = {
+        lg: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
+        for lg, ws in {
+            "en": ["the", "and", "of", "to", "is"],
+            "de": ["der", "die", "und", "das", "ist"],
+            "fr": ["le", "la", "et", "les", "est"],
+            "es": ["el", "la", "los", "que", "es"],
+        }.items()
+    }
+    best = f"greatest({lang_score['de']}, {lang_score['en']}, {lang_score['es']}, {lang_score['fr']})"
+    return {
+        "extract_keys": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS K,
+                   replace(props, '": ', '":') AS PAYLOAD
+            FROM events
+        """,
+        "convert_full": """
+            SELECT event_id,
+                   CASE WHEN json_extract_string(props,'$.k') IS NOT NULL
+                        THEN 'EventProps' END AS schema_name,
+                   json_extract_string(props, '$.k') AS K,
+                   to_json(props::JSON)::VARCHAR AS PAYLOAD
+            FROM events
+        """,
+        "identify_schema": """
+            SELECT CASE WHEN json_extract_string(props,'$.k') = '0' THEN 'ZeroK'
+                        WHEN json_extract_string(props,'$.k') IS NOT NULL THEN 'AnyK'
+                   END AS schema_name,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "admission_filter": """
+            SELECT CASE WHEN event_type IN ('click','view','purchase')
+                        THEN 'admitted' ELSE 'quarantined' END AS channel,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "tombstone_split": """
+            SELECT CASE WHEN event_type = 'error' THEN 'tombstone' ELSE 'data' END AS channel,
+                   count(*) AS n, min(event_id) AS first_event
+            FROM events GROUP BY 1
+        """,
+        "stringify_logical": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+                   CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
+                   CAST(user_id AS VARCHAR) AS user_str
+            FROM events
+        """,
+        "case_fold": """
+            SELECT n_nationkey AS N_NATIONKEY, upper(n_name) AS N_NAME,
+                   n_regionkey AS N_REGIONKEY
+            FROM nation
+        """,
+        "lww_dedup": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "lww_salted": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "cdc_apply": """
+            SELECT user_id, lsn, event_type, value FROM (
+              SELECT user_id, event_id AS lsn, event_type, value,
+                     CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1 AND op <> 'd'
+        """,
+        "engine_ingest": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS doc_id_str, lang,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        "agg_pushdown": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))  AS VARCHAR) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_broadcast": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "window_topk": """
+            SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders
+            ) WHERE rank <= 3
+        """,
+        "dedup_exact": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            fp AS (SELECT doc_id, md5({norm_text}) AS fp FROM docs)
+            SELECT fp, min(doc_id) AS representative, count(*) AS group_size
+            FROM fp GROUP BY fp HAVING count(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            {_shingle_cte('docs')},
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+                   round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.8
+        """,
+        "minhash_signatures": f"""
+            WITH {_shingle_cte('documents')}
+            SELECT id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            {_shingle_cte('docs')},
+            sig AS (
+              SELECT id,
+                     min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                     min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                     min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+              FROM sh GROUP BY id
+            ),
+            banded AS (
+              SELECT id, unnest(['0|' || h0 || '|' || h1 || '|' || h2,
+                                 '1|' || h3 || '|' || h4 || '|' || h5]) AS band
+              FROM sig
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN {best} = 0 THEN 'und'
+                        WHEN {lang_score['de']} = {best} THEN 'de'
+                        WHEN {lang_score['en']} = {best} THEN 'en'
+                        WHEN {lang_score['es']} = {best} THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   {lang_score['de']} AS s_de, {lang_score['en']} AS s_en,
+                   {lang_score['es']} AS s_es, {lang_score['fr']} AS s_fr
+            FROM documents
+        """,
+        "quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1), 6) AS alpha_ratio,
+                     round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+                           / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(0.4 * alpha_ratio
+                         + 0.3 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+            FROM f
+        """,
+        "fingerprint": f"""
+            WITH n AS (SELECT doc_id, {norm_text} AS norm FROM documents)
+            SELECT doc_id,
+                   md5(norm) AS exact_fp,
+                   list_aggregate(
+                     list_transform(range(1, greatest(length(norm)-7, 1) + 1, 4),
+                                    i -> md5(substr(norm, i, 8))), 'min') AS winnow_fp,
+                   length(norm) AS norm_len
+            FROM n
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS payload_sha
+            FROM documents
+        """,
+        "embedding_norms": """
+            SELECT vec_id, len(embedding) AS dim,
+                   round(sqrt(list_aggregate(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     'sum')), 4) AS l2_norm
+            FROM embeddings
+        """,
+    }
