@@ -1,0 +1,132 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the north-star metric — CDC ingest throughput
+(change-events/sec through convert -> LWW -> exactly-once MERGE sink)
+— reported as extra keys. Run tools/bench_scaling.py for the
+N-vs-4N-parallelism scaling-efficiency evidence (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "extract_keys",
+    "convert_full",
+    "stringify_logical",
+    "lww_dedup",
+    "lww_salted",
+    "cdc_apply",
+    "engine_ingest",
+    "agg_pushdown",
+    "join_broadcast",
+    "window_topk",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_signatures",
+    "simhash",
+    "ann_topk",
+    "token_count",
+    "lang_id",
+    "quality",
+    "fingerprint",
+    "embedding_norms",
+]
+
+INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cdc-engine-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # full evaluation, no sink cost
+    return time.time() - t0
+
+
+def bench_ingest(spark, n_events: int, num_partitions: int) -> dict:
+    """North-star metric: events/sec through the full pipeline
+    (generate is fused into the scan; convert native JVM path; LWW;
+    bucketed exactly-once MERGE commits in 4 epochs)."""
+    from kafka_connect_converter_json_spark.sources.cdc_gen import gen_events
+    from kafka_connect_converter_json_spark.streaming.ingest import ingest
+
+    root = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        params = dict(n_repos=500, paths_per_repo=400, skew=3.0,
+                      num_partitions=num_partitions)
+        events = gen_events(spark, n_events, **params)
+        src = lambda lo, hi: gen_events(spark, hi - lo, start=lo, **params)  # noqa: E731
+        t0 = time.time()
+        ingest(spark, events, root, n_events, n_epochs=4, parse_mode="native",
+               num_buckets=64, epoch_source=src)
+        dt = time.time() - t0
+        return {"ingest_events": n_events, "ingest_sec": round(dt, 2),
+                "ingest_events_per_sec": round(n_events / dt)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        times[name] = round(time_query(qs[name], spark, sf_dir), 3)
+
+    ingest_stats = bench_ingest(spark, INGEST_EVENTS, int(cpus) * 2)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline-suite seconds + CDC ingest events/sec (exactly-once MERGE sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "cpus": int(cpus),
+        **ingest_stats,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,9 +47,22 @@ def gen_events(
     delete_pct: int = 5,
     seed: int = 42,
     num_partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
-    """Generate the F1 change-event stream; ``lsn`` is the total order."""
-    rng = spark.range(0, n_events, 1, num_partitions) if num_partitions else spark.range(n_events)
+    """Generate the F1 change-event stream; ``lsn`` is the total order.
+
+    ``start`` slices the stream without generating the prefix: every
+    column is a pure function of the row id, so
+    ``gen_events(..., start=lo, n_events=hi-lo)`` equals
+    ``gen_events(..., n_events=hi).filter(lsn >= lo)`` row-for-row —
+    the binlog-tail property (an epoch reads only its own range).
+    """
+    end = start + n_events
+    rng = (
+        spark.range(start, end, 1, num_partitions)
+        if num_partitions
+        else spark.range(start, end)
+    )
     id_ = F.col("id")
 
     u = (F.pmod(_h(id_, seed), F.lit(1_000_000)).cast("double") / 1_000_000.0)
@@ -67,11 +80,14 @@ def gen_events(
         F.array(*[F.lit(x) for x in LANGS]), (F.pmod(path_idx, F.lit(len(LANGS))) + 1).cast("int")
     )
     repo = F.concat(F.lit("repo-"), F.lpad(repo_idx.cast("string"), 4, "0"))
+    # path determined solely by path_idx so the key space is exactly
+    # n_repos x paths_per_repo (controls the update:insert ratio of the
+    # CDC replay — more events per key = more LWW work, the honest case)
     path = F.concat(
-        F.lit("src/"),
-        F.lpad(path_idx.cast("string"), 5, "0"),
+        F.lit("src/dir_"),
+        F.lpad(F.pmod(path_idx, F.lit(37)).cast("string"), 2, "0"),
         F.lit("/file_"),
-        F.lpad(F.pmod(_h(id_, seed + 3), F.lit(97)).cast("string"), 2, "0"),
+        F.lpad(path_idx.cast("string"), 5, "0"),
         F.lit("."),
         lang,
     )

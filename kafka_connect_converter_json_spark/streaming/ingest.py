@@ -80,6 +80,7 @@ def convert_events(
     config: ConverterConfig,
     parse_mode: str = "native",
     envelope_schema: T.StructType | None = None,
+    include_payload: bool = False,
 ) -> DataFrame:
     """events(lsn, op, schema_name, value_json, key_json, kafka_*) ->
     typed (repo, path, commit, lang, content, lsn, op, kafka_*).
@@ -106,13 +107,9 @@ def convert_events(
             if c in key_from_key_json:
                 col = F.coalesce(col, key_from_key_json[c])
             sel.append(col.alias(c))
+        tail = [F.col(config.payload_column).alias("payload")] if include_payload else []
         return conv.select(
-            *sel,
-            "lsn",
-            "op",
-            "kafka_partition",
-            "kafka_offset",
-            F.col(config.payload_column).alias("payload"),
+            *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail
         )
 
     if envelope_schema is None:
@@ -131,13 +128,9 @@ def convert_events(
         if c in key_from_key_json:
             col = F.coalesce(col, key_from_key_json[c])
         sel.append(col.cast("string").alias(c))
+    tail = [F.to_json("_env").alias("payload")] if include_payload else []
     return parsed.select(
-        *sel,
-        "lsn",
-        "op",
-        "kafka_partition",
-        "kafka_offset",
-        F.to_json("_env").alias("payload"),
+        *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail
     )
 
 
@@ -152,17 +145,23 @@ def ingest(
     registry: SchemaRegistry | None = None,
     num_buckets: int = 64,
     fail_after_epochs: int | None = None,
-    salt_payload: bool = False,
+    epoch_source=None,
+    **sink_kwargs,
 ) -> BucketedMergeSink:
     """Replay ``events`` into the sink in ``n_epochs`` LSN-range epochs.
 
     Resumable: committed epochs are skipped (manifest = checkpoint).
     ``fail_after_epochs`` injects a crash for the replay-parity test.
+    ``epoch_source(lo, hi)``, when given, supplies each epoch's events
+    directly (binlog-tail property: an epoch reads only its own LSN
+    range) instead of filtering ``events`` — for file-backed sources the
+    filter path gets the same effect from parquet min/max pruning.
     """
     config = config or default_config()
     registry = registry or SchemaRegistry()
     sink = BucketedMergeSink(
-        spark, sink_root, keys=["repo", "path"], order_col="lsn", num_buckets=num_buckets
+        spark, sink_root, keys=["repo", "path"], order_col="lsn",
+        num_buckets=num_buckets, **sink_kwargs,
     )
 
     env_schema = None
@@ -177,7 +176,10 @@ def ingest(
         if epoch in committed:
             continue
         lo, hi = epoch * per_epoch, (epoch + 1) * per_epoch
-        batch = events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        if epoch_source is not None:
+            batch = epoch_source(lo, hi)
+        else:
+            batch = events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
         typed = convert_events(batch, config, parse_mode, env_schema)
         sink.merge(typed, epoch)
         done += 1

@@ -59,7 +59,14 @@ class BucketedMergeSink:
         op_col: str = "op",
         delete_op: str = "d",
         num_buckets: int = 64,
+        write_repartition: bool = True,
+        persist_batch: bool = False,
     ) -> None:
+        # measured on 1M events / 4 epochs / local[32] (best of 2):
+        #   repartition+persist 13.1s; repartition only 10.5s (default);
+        #   no repartition 24.0s (AQE-coalesced write skews file sizes).
+        # persist only pays when recomputing the batch is expensive
+        # (e.g. a slow upstream join); for scans/generators it loses.
         self.spark = spark
         self.root = root
         self.keys = keys
@@ -67,6 +74,8 @@ class BucketedMergeSink:
         self.op_col = op_col
         self.delete_op = delete_op
         self.num_buckets = num_buckets
+        self.write_repartition = write_repartition
+        self.persist_batch = persist_batch
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
 
@@ -119,37 +128,44 @@ class BucketedMergeSink:
             and c not in (self.order_col, self.op_col, "kafka_partition", "kafka_offset")
         ]
 
-        # lineage BEFORE commit (visible only once manifest flips)
-        lineage_stats = self._write_lineage(batch, epoch)
-
-        # collapse the batch: one winner per key (map-side combine + one shuffle)
-        collapsed = lww_latest(
-            batch.select(*self.keys, self.order_col, self.op_col, *payload_cols),
-            self.keys,
-            self.order_col,
-            payload_cols + [self.op_col],
-        ).withColumn("_bucket", self._bucket_expr())
-
-        touched = sorted(
-            r["_bucket"] for r in collapsed.select("_bucket").distinct().collect()
+        batch = batch.select(
+            *self.keys, self.order_col, self.op_col, *payload_cols,
+            *[c for c in ("kafka_partition", "kafka_offset") if c in batch.columns],
         )
+        if self.persist_batch:
+            batch = batch.persist()
+            try:
+                return self._merge_persisted(batch, epoch, payload_cols)
+            finally:
+                batch.unpersist()
+        return self._merge_persisted(batch, epoch, payload_cols)
+
+    def _merge_persisted(self, batch: DataFrame, epoch: int, payload_cols: list[str]) -> dict:
+        batch_b = batch.withColumn("_bucket", self._bucket_expr())
+
+        # ONE stats pass over the batch: per-partition lineage aggregates
+        # AND touched-bucket discovery (the file-pruning step a real
+        # Iceberg MERGE gets from its partition spec). Lineage is written
+        # BEFORE the manifest flips, so a committed epoch always has it.
+        lineage_stats, touched = self._stats_pass(batch_b, epoch)
         buckets_map = dict(self._manifest["buckets"])
         current_paths = [
             os.path.join(self.root, buckets_map[str(b)]) for b in touched if str(b) in buckets_map
         ]
 
-        sides = [collapsed]
+        cols = [*self.keys, self.order_col, self.op_col, *payload_cols, "_bucket"]
+        sides = batch_b.select(*cols)
         if current_paths:
             cur = (
                 self.spark.read.parquet(*current_paths)
                 .withColumn(self.op_col, F.lit("u"))
                 .withColumn("_bucket", self._bucket_expr())
             )
-            sides.append(cur.select(*collapsed.columns))
+            sides = sides.unionByName(cur.select(*cols))
 
-        unioned = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+        # single wide shuffle: LWW over (keys, bucket) with map-side combine
         merged = (
-            lww_latest(unioned, self.keys + ["_bucket"], self.order_col, payload_cols + [self.op_col])
+            lww_latest(sides, self.keys + ["_bucket"], self.order_col, payload_cols + [self.op_col])
             .filter(F.col(self.op_col) != self.delete_op)
             .drop(self.op_col)
         )
@@ -158,11 +174,12 @@ class BucketedMergeSink:
         epoch_dir = os.path.join(self.root, epoch_rel)
         if os.path.exists(epoch_dir):  # orphan from a crashed attempt
             shutil.rmtree(epoch_dir)
-        (
+        to_write = (
             merged.repartition(max(1, len(touched)), "_bucket")
-            .write.partitionBy("_bucket")
-            .parquet(epoch_dir)
+            if self.write_repartition
+            else merged  # AQE-coalesced shuffle output; more files per bucket
         )
+        to_write.write.partitionBy("_bucket").parquet(epoch_dir)
 
         # buckets that still exist after the merge (all-deleted buckets vanish)
         written = {
@@ -187,24 +204,44 @@ class BucketedMergeSink:
         self._commit_manifest(manifest)
         return stats
 
-    def _write_lineage(self, batch: DataFrame, epoch: int) -> list[dict]:
-        if "kafka_partition" not in batch.columns:
-            return []
-        lin = (
-            batch.groupBy("kafka_partition")
+    def _stats_pass(self, batch_b: DataFrame, epoch: int) -> tuple[list[dict], list[int]]:
+        """One aggregation job: lineage rows per source partition plus the
+        set of touched buckets (collect_set is tiny: <= num_buckets)."""
+        has_lineage = "kafka_partition" in batch_b.columns
+        part = F.col("kafka_partition") if has_lineage else F.lit(0)
+        rows = (
+            batch_b.groupBy(part.alias("kafka_partition"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.min("kafka_offset").alias("min_offset"),
-                F.max("kafka_offset").alias("max_offset"),
+                (F.min("kafka_offset") if has_lineage else F.lit(None).cast("long")).alias("min_offset"),
+                (F.max("kafka_offset") if has_lineage else F.lit(None).cast("long")).alias("max_offset"),
                 F.max(self.order_col).alias("max_lsn"),
+                F.collect_set("_bucket").alias("_buckets"),
             )
             .withColumn("epoch", F.lit(epoch))
+            .collect()
         )
-        lin_dir = os.path.join(self.root, "lineage", f"e{epoch:06d}")
-        if os.path.exists(lin_dir):
-            shutil.rmtree(lin_dir)
-        lin.coalesce(1).write.parquet(lin_dir)
-        return [r.asDict() for r in lin.collect()]
+        touched = sorted({b for r in rows for b in r["_buckets"]})
+        if has_lineage:
+            self._write_lineage_rows(rows, epoch)
+        return [
+            {k: r[k] for k in ("kafka_partition", "n_events", "min_offset", "max_offset", "max_lsn", "epoch")}
+            for r in rows
+        ], touched
+
+    def _write_lineage_rows(self, rows, epoch: int) -> None:
+        # tiny (<= source partition count): write driver-side via pyarrow —
+        # no extra Spark job, still parquet-readable by read_lineage
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lin_dir = os.path.join(self.root, "lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        cols = ["kafka_partition", "n_events", "min_offset", "max_offset", "max_lsn", "epoch"]
+        table = pa.table({c: [r[c] for r in rows] for c in cols})
+        tmp = os.path.join(lin_dir, f".e{epoch:06d}.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(lin_dir, f"e{epoch:06d}.parquet"))
 
     # ----- read ----------------------------------------------------------
 
@@ -215,4 +252,4 @@ class BucketedMergeSink:
         return self.spark.read.parquet(*paths)
 
     def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "lineage", "*"))
+        return self.spark.read.parquet(os.path.join(self.root, "lineage"))

@@ -1,0 +1,150 @@
+"""Structured Streaming front end for the CDC engine.
+
+The batch-replay driver (``ingest.py``) is the deterministic/testable
+path; this module is the live-tail path the same engine runs in
+production: ``readStream`` over an events source -> the identical
+convert/LWW/MERGE pipeline inside ``foreachBatch`` -> exactly-once via
+the sink's idempotent epoch commits keyed by the streaming ``batch_id``
+(Structured Streaming may re-deliver a batch after crash; the manifest
+check makes re-delivery a no-op — the standard ``foreachBatch(batch_id)``
+dedup pattern, SURVEY.md N6/N7).
+
+Also provides ``stateful_lww``: a custom stateful operator via
+``applyInPandasWithState`` that maintains the per-key latest version
+*across* micro-batches and emits only changed keys per batch — the
+streaming-native alternative to re-merging the sink table, useful when
+downstream wants a changelog rather than a table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..config import ConverterConfig
+from .ingest import convert_events, default_config, infer_envelope_schema
+from .sink import BucketedMergeSink
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("schema_name", T.StringType(), True),
+        T.StructField("value_json", T.StringType(), True),
+        T.StructField("key_json", T.StringType(), True),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("kafka_partition", T.IntegerType(), True),
+        T.StructField("kafka_offset", T.LongType(), True),
+    ]
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    sink_root: str,
+    checkpoint_dir: str,
+    config: ConverterConfig | None = None,
+    num_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Tail a file-based event source (one parquet dir per producer epoch
+    — the sandbox stand-in for a Kafka topic) into the MERGE sink.
+
+    ``available_now=True`` drains everything then stops (deterministic
+    for tests); False runs continuously. Restart with the same
+    checkpoint_dir resumes from the last committed source offset, and
+    the sink's idempotent commits absorb any batch re-delivery.
+    """
+    config = config or default_config()
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+
+    # driver-side compile step (registry observe) from a static sample
+    static = spark.read.schema(EVENT_SCHEMA).parquet(source_dir)
+    env_schema = infer_envelope_schema(spark, static, "value_json")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink = BucketedMergeSink(
+            spark, sink_root, keys=["repo", "path"], order_col="lsn", num_buckets=num_buckets
+        )
+        typed = convert_events(batch_df, config, "native", env_schema)
+        sink.merge(typed, epoch=int(batch_id))
+
+    writer = events.writeStream.foreachBatch(process).option(
+        "checkpointLocation", os.path.join(checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: cross-batch LWW changelog
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "lsn LONG, content STRING, op STRING"
+_OUT_SCHEMA = (
+    "repo STRING, path STRING, lsn LONG, content STRING, op STRING, changed BOOLEAN"
+)
+
+
+def _lww_state_fn(key, pdf_iter, state: GroupState):
+    """Per-(repo,path) state: the latest (lsn, content, op) seen so far.
+    Emits one row per batch for keys whose winner changed."""
+    best_lsn, best_content, best_op = (
+        state.get if state.exists else (None, None, None)
+    )
+    changed = False
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        idx = pdf["lsn"].idxmax()
+        lsn = int(pdf.loc[idx, "lsn"])
+        if best_lsn is None or lsn > best_lsn:
+            best_lsn = lsn
+            best_content = pdf.loc[idx, "content"]
+            best_op = pdf.loc[idx, "op"]
+            changed = True
+    if changed:
+        state.update((best_lsn, best_content, best_op))
+        yield pd.DataFrame(
+            [
+                {
+                    "repo": key[0],
+                    "path": key[1],
+                    "lsn": best_lsn,
+                    "content": best_content,
+                    "op": best_op,
+                    "changed": True,
+                }
+            ]
+        )
+
+
+def stateful_lww(typed_stream: DataFrame) -> DataFrame:
+    """Cross-batch LWW changelog via applyInPandasWithState.
+
+    Input: streaming DataFrame with (repo, path, lsn, content, op).
+    Output per micro-batch: the keys whose latest version changed.
+    State is the per-key winner — O(|keys|) memory in the state store,
+    exactly the converter cache discipline (JC:84-93) applied to data.
+    """
+    return (
+        typed_stream.select("repo", "path", "lsn", "content", "op")
+        .groupBy("repo", "path")
+        .applyInPandasWithState(
+            _lww_state_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

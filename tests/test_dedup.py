@@ -53,3 +53,15 @@ def test_generator_parallelism_independence(spark):
     a = gen_events(spark, 500, seed=5, num_partitions=2).orderBy("lsn").collect()
     b = gen_events(spark, 500, seed=5, num_partitions=16).orderBy("lsn").collect()
     assert a == b
+
+
+def test_generator_slice_equals_filter(spark):
+    # binlog-tail property: start-sliced generation == filtered full stream
+    full = (
+        gen_events(spark, 400, seed=5)
+        .filter("lsn >= 150 and lsn < 300")
+        .orderBy("lsn")
+        .collect()
+    )
+    sliced = gen_events(spark, 150, seed=5, start=150).orderBy("lsn").collect()
+    assert full == sliced
