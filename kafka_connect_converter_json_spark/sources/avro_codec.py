@@ -1,0 +1,307 @@
+"""Minimal from-scratch Avro binary decoder + Confluent wire-format framing.
+
+Implements the subset of the Avro 1.11 binary encoding (public spec,
+https://avro.apache.org/docs/current/specification/) that the reference
+converter traverses — the switch at JC:552-632 is exhaustive over
+record/enum/array/map/union/fixed/bytes/string/int/long/float/double/
+boolean/null plus the nine logical types — so the engine's Avro path
+(O3, JC:365-415) has no external dependency (no avro/fastavro in this
+environment; spark-avro's jar is likewise unavailable).
+
+Wire format (Confluent): byte 0 = magic 0x00, bytes 1-4 = big-endian
+schema id, then the Avro binary body (JC:769-783 embeds the deserializer
+that understands this framing). ``LocalSchemaRegistry`` stands in for
+``CachedSchemaRegistryClient`` (JC:107-115): id -> parsed schema, with
+the same "schema resolved once, decode per record" discipline.
+
+Decoded values carry raw logical-type representations (days, millis,
+unscaled bytes...) which ``functions.logical_types`` then stringifies —
+mirroring the reference's two-stage rewrite (O13 schema rewrite +
+O14 value conversions).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass
+
+MAGIC = 0
+
+
+class AvroDecodeError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# schema model (parsed JSON Avro schemas, normalized to dicts)
+# ---------------------------------------------------------------------------
+
+def parse_schema(schema_json: str | dict) -> dict | list | str:
+    if isinstance(schema_json, str) and schema_json.lstrip()[:1] in ("{", "["):
+        return json.loads(schema_json)
+    return schema_json  # primitive/named type name, or already parsed
+
+
+def schema_type(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def record_name(schema) -> str | None:
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        return schema.get("name")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# binary decoder
+# ---------------------------------------------------------------------------
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise AvroDecodeError("unexpected EOF")
+        self.pos += n
+        return b
+
+    def zigzag(self) -> int:
+        """Avro int/long: variable-length zigzag."""
+        shift = 0
+        acc = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _decode(schema, r: _Reader, named: dict):
+    t = schema_type(schema)
+    if t == "union":
+        branch = r.zigzag()
+        try:
+            return _decode(schema[branch], r, named)
+        except IndexError as e:  # noqa: PERF203
+            raise AvroDecodeError(f"union branch {branch} out of range") from e
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.zigzag()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return bytes(r.read(r.zigzag()))
+    if t == "string":
+        return r.read(r.zigzag()).decode("utf-8")
+    if t == "record":
+        if isinstance(schema, str):
+            schema = named[schema]
+        named[schema["name"]] = schema
+        return {f["name"]: _decode(f["type"], r, named) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][r.zigzag()]
+    if t == "array":
+        out = []
+        while True:
+            n = r.zigzag()
+            if n == 0:
+                break
+            if n < 0:  # block with byte size prefix
+                n = -n
+                r.zigzag()
+            for _ in range(n):
+                out.append(_decode(schema["items"], r, named))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.zigzag()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.zigzag()
+            for _ in range(n):
+                k = r.read(r.zigzag()).decode("utf-8")
+                out[k] = _decode(schema["values"], r, named)
+        return out
+    if t == "fixed":
+        return bytes(r.read(schema["size"]))
+    if t in named:  # named-type reference
+        return _decode(named[t], r, named)
+    raise AvroDecodeError(f"unsupported avro type: {t!r}")  # JC:616-618 parity
+
+
+def decode(schema, payload: bytes) -> object:
+    """Decode one Avro binary body against its writer schema."""
+    return _decode(parse_schema(schema), _Reader(payload), {})
+
+
+# ---------------------------------------------------------------------------
+# logical-type stringification over decoded trees (O13+O14 combined)
+# ---------------------------------------------------------------------------
+
+def stringify_logical(schema, value):
+    """Walk schema+value; rewrite logical-typed leaves to their string
+    forms (the decoded-tree analogue of createLogicalTypesStringSchema,
+    JC:551-633, + the nine Conversions, JC:1033-1262)."""
+    from ..functions import logical_types as lt
+
+    if value is None:
+        return None
+    schema = parse_schema(schema)
+    t = schema_type(schema)
+    if t == "union":
+        for branch in schema:
+            if schema_type(branch) == "null" and value is None:
+                return None
+        # decoded value lost its branch tag; rewrite against the first
+        # non-null branch that structurally matches
+        for branch in schema:
+            if schema_type(branch) != "null":
+                try:
+                    return stringify_logical(branch, value)
+                except (AvroDecodeError, TypeError, KeyError):
+                    continue
+        return value
+    if isinstance(schema, dict) and "logicalType" in schema:
+        l = schema["logicalType"]
+        if l == "decimal":
+            return lt.decimal_to_string(value, schema.get("scale", 0))
+        return lt.convert(l, value)
+    if t == "record":
+        return {
+            f["name"]: stringify_logical(f["type"], value.get(f["name"]))
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [stringify_logical(schema["items"], v) for v in value]
+    if t == "map":
+        return {k: stringify_logical(schema["values"], v) for k, v in value.items()}
+    if t == "bytes" and isinstance(value, bytes):
+        return value.decode("latin-1")  # avro json encoding of bytes
+    if t == "fixed" and isinstance(value, bytes):
+        return value.decode("latin-1")
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Confluent wire format + local registry
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LocalSchemaRegistry:
+    """In-process stand-in for the Confluent registry client (JC:107-115):
+    schema-id -> writer schema, resolved once and memoized."""
+
+    schemas: dict[int, dict]
+
+    @classmethod
+    def of(cls, schemas: dict[int, str | dict]) -> LocalSchemaRegistry:
+        return cls({i: parse_schema(s) for i, s in schemas.items()})
+
+    def schema_for(self, schema_id: int) -> dict:
+        try:
+            return self.schemas[schema_id]
+        except KeyError as e:
+            raise AvroDecodeError(f"unknown schema id {schema_id}") from e
+
+
+def encode_wire(schema_id: int, body: bytes) -> bytes:
+    return bytes([MAGIC]) + struct.pack(">I", schema_id) + body
+
+
+def decode_wire(registry: LocalSchemaRegistry, payload: bytes) -> tuple[str | None, object]:
+    """Confluent-framed bytes -> (record name, decoded+stringified tree).
+    Tombstone (None) passes through (JC:371-373)."""
+    if payload is None:
+        return None, None
+    if not payload or payload[0] != MAGIC:
+        raise AvroDecodeError("bad magic byte (not Confluent wire format)")  # JC:396-414
+    schema_id = struct.unpack(">I", payload[1:5])[0]
+    schema = registry.schema_for(schema_id)
+    value = decode(schema, payload[5:])
+    return record_name(schema), stringify_logical(schema, value)
+
+
+# ---------------------------------------------------------------------------
+# test-support encoder (so tests can round-trip without any avro lib)
+# ---------------------------------------------------------------------------
+
+def _zz(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode(schema, value) -> bytes:
+    """Avro binary encoder (test support; mirrors decode)."""
+    schema = parse_schema(schema)
+    t = schema_type(schema)
+    if t == "union":
+        for i, branch in enumerate(schema):
+            bt = schema_type(branch)
+            if value is None and bt == "null":
+                return _zz(i)
+            if value is not None and bt != "null":
+                return _zz(i) + encode(branch, value)
+        raise AvroDecodeError("no union branch matched")
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _zz(int(value))
+    if t == "float":
+        return struct.pack("<f", value)
+    if t == "double":
+        return struct.pack("<d", value)
+    if t in ("bytes",):
+        return _zz(len(value)) + bytes(value)
+    if t == "string":
+        b = str(value).encode("utf-8")
+        return _zz(len(b)) + b
+    if t == "record":
+        return b"".join(encode(f["type"], value.get(f["name"])) for f in schema["fields"])
+    if t == "enum":
+        return _zz(schema["symbols"].index(value))
+    if t == "array":
+        if not value:
+            return _zz(0)
+        return _zz(len(value)) + b"".join(encode(schema["items"], v) for v in value) + _zz(0)
+    if t == "map":
+        if not value:
+            return _zz(0)
+        body = b"".join(
+            _zz(len(k.encode())) + k.encode() + encode(schema["values"], v)
+            for k, v in value.items()
+        )
+        return _zz(len(value)) + body + _zz(0)
+    if t == "fixed":
+        return bytes(value)
+    raise AvroDecodeError(f"unsupported avro type: {t!r}")
