@@ -239,6 +239,61 @@ def q_engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro path end-to-end (O3): documents encoded to Confluent-framed
+    Avro binary (from-scratch codec), decoded + extracted by the
+    distributed Avro converter; the oracle recomputes relationally."""
+    from kafka_connect_converter_json_spark.config import ConverterConfig
+    from kafka_connect_converter_json_spark.operators.avro_extract import avro_convert_stream
+    from kafka_connect_converter_json_spark.sources import avro_codec as av
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "Meta",
+                    "fields": [
+                        {"name": "id", "type": "long"},
+                        {"name": "lang", "type": "string"},
+                    ],
+                },
+            },
+            {"name": "content", "type": "string"},
+        ],
+    }
+    registry = av.LocalSchemaRegistry.of({1: schema})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def encode_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["value_bytes"] = [
+                av.encode_wire(
+                    1,
+                    av.encode(schema, {"meta": {"id": int(r.doc_id), "lang": r.lang}, "content": r.text}),
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pdf[["doc_id", "value_bytes"]]
+
+    framed = docs.mapInPandas(encode_batches, schema="doc_id long, value_bytes binary")
+    cfg = ConverterConfig(
+        payload_field_name="payload",
+        input_format="avro",
+        schema_names=("Doc",),
+        keys={"Doc": {"meta.id": "doc_id_str", "meta.lang": "lang", "content": "content"}},
+        identifiers=(),
+        uppercase=False,
+    )
+    out = avro_convert_stream(framed, cfg, registry, passthrough=("doc_id",))
+    return out.select("doc_id", "doc_id_str", "lang", F.sha2("content", 256).alias("content_sha"))
+
+
 def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate: decimal sums (order-independent, exact)
     with filter pushed to the parquet scan."""
@@ -446,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_salted": q_lww_salted,
         "cdc_apply": q_cdc_apply,
         "engine_ingest": q_engine_ingest,
+        "avro_ingest": q_avro_ingest,
         "agg_pushdown": q_agg_pushdown,
         "join_broadcast": q_join_broadcast,
         "window_topk": q_window_topk,
@@ -575,6 +631,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'd'
         """,
         "engine_ingest": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS doc_id_str, lang,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        "avro_ingest": """
             SELECT doc_id, CAST(doc_id AS VARCHAR) AS doc_id_str, lang,
                    sha256(text) AS content_sha
             FROM documents

@@ -102,3 +102,63 @@ class ConverterConfig:
         plus the payload column last (JC:157-181 createTargetSchema)."""
         cols = sorted({self.fold(n) for m in self.keys.values() for n in m.values()})
         return cols + [self.payload_column]
+
+    @classmethod
+    def from_connect_map(cls, configs: dict[str, str]) -> "ConverterConfig":
+        """Parse a flat Kafka-Connect-style config map (O21, JCC:36-121).
+
+        Recognized keys, mirroring JsonConverterConfig:
+        - ``payload.field.name``                        (JCC:16)
+        - ``input.format``           json|avro          (JCC:18)
+        - ``schema.names``           comma-separated    (JCC:66)
+        - ``allownonindexed`` / ``uppercase`` / ``includenamespace``
+                                     true|false         (JCC:20,19,22)
+        - ``<Schema>.<dotted.path>`` = target column    (JCC:75-91,
+          prefix = declared schema name)
+        - ``json.<Schema>.<dotted.path>`` = probe value (JCC:96-121;
+          value "true" = existence test). Rule order = insertion order
+          of the map (deterministic, unlike the reference's HashMap —
+          divergence documented in SURVEY.md §3.3).
+        """
+        def flag(key: str, default: bool) -> bool:
+            v = configs.get(key)
+            if v is None:
+                return default
+            if str(v).lower() not in ("true", "false"):
+                raise ConfigError(f"{key} must be true|false, got {v!r}")
+            return str(v).lower() == "true"
+
+        names = tuple(
+            s.strip() for s in configs.get("schema.names", "").split(",") if s.strip()
+        )
+        keys: dict[str, dict[str, str]] = {}
+        identifiers: list[IdentifierRule] = []
+        reserved = {
+            "payload.field.name", "input.format", "schema.names",
+            "allownonindexed", "uppercase", "includenamespace",
+        }
+        for k, v in configs.items():
+            if k in reserved:
+                continue
+            if k.startswith("json."):
+                rest = k[len("json."):]
+                schema, _, path = rest.partition(".")
+                if not path:
+                    raise ConfigError(f"bad identifier rule key: {k!r}")
+                identifiers.append(IdentifierRule(schema, tuple(path.split(".")), str(v)))
+                continue
+            schema, _, path = k.partition(".")
+            if schema in names and path:
+                keys.setdefault(schema, {})[path] = str(v)
+            else:
+                raise ConfigError(f"unrecognized config key: {k!r}")  # JCC strictness
+        return cls(
+            payload_field_name=configs.get("payload.field.name", "payload"),
+            input_format=configs.get("input.format", "json"),
+            schema_names=names,
+            keys=keys,
+            identifiers=tuple(identifiers),
+            allow_non_indexed=flag("allownonindexed", False),
+            uppercase=flag("uppercase", True),
+            include_namespace=flag("includenamespace", False),
+        )

@@ -61,6 +61,7 @@ class BucketedMergeSink:
         num_buckets: int = 64,
         write_repartition: bool = True,
         persist_batch: bool = False,
+        prune_buckets: bool = True,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
         #   repartition+persist 13.1s; repartition only 10.5s (default);
@@ -76,6 +77,14 @@ class BucketedMergeSink:
         self.num_buckets = num_buckets
         self.write_repartition = write_repartition
         self.persist_batch = persist_batch
+        # prune_buckets=True: discover the batch's buckets first and read/
+        # rewrite only those (the 100 TB path — epochs touch a small slice
+        # of the key space). False: skip discovery, read every live bucket,
+        # and run the stats/lineage job CONCURRENTLY with the merge on a
+        # second thread — right when batches touch most buckets anyway
+        # (uniform-update benchmarks), where discovery is pure critical-path
+        # overhead.
+        self.prune_buckets = prune_buckets
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
 
@@ -142,16 +151,37 @@ class BucketedMergeSink:
 
     def _merge_persisted(self, batch: DataFrame, epoch: int, payload_cols: list[str]) -> dict:
         batch_b = batch.withColumn("_bucket", self._bucket_expr())
-
-        # ONE stats pass over the batch: per-partition lineage aggregates
-        # AND touched-bucket discovery (the file-pruning step a real
-        # Iceberg MERGE gets from its partition spec). Lineage is written
-        # BEFORE the manifest flips, so a committed epoch always has it.
-        lineage_stats, touched = self._stats_pass(batch_b, epoch)
         buckets_map = dict(self._manifest["buckets"])
-        current_paths = [
-            os.path.join(self.root, buckets_map[str(b)]) for b in touched if str(b) in buckets_map
-        ]
+
+        stats_thread = None
+        stats_box: dict = {}
+        if self.prune_buckets:
+            # ONE stats pass over the batch: per-partition lineage aggregates
+            # AND touched-bucket discovery (the file-pruning step a real
+            # Iceberg MERGE gets from its partition spec). Lineage is written
+            # BEFORE the manifest flips, so a committed epoch always has it.
+            lineage_stats, touched = self._stats_pass(batch_b, epoch)
+            current_paths = [
+                os.path.join(self.root, buckets_map[str(b)])
+                for b in touched
+                if str(b) in buckets_map
+            ]
+        else:
+            # no pruning: merge reads every live bucket; stats/lineage job
+            # runs concurrently off the critical path (Spark schedules
+            # concurrent jobs from separate threads)
+            import threading
+
+            def _stats():
+                try:
+                    stats_box["result"] = self._stats_pass(batch_b, epoch)
+                except Exception as e:  # noqa: BLE001
+                    stats_box["error"] = e
+
+            stats_thread = threading.Thread(target=_stats, daemon=True)
+            stats_thread.start()
+            touched = sorted(int(b) for b in buckets_map)
+            current_paths = [os.path.join(self.root, rel) for rel in buckets_map.values()]
 
         cols = [*self.keys, self.order_col, self.op_col, *payload_cols, "_bucket"]
         sides = batch_b.select(*cols)
@@ -174,8 +204,9 @@ class BucketedMergeSink:
         epoch_dir = os.path.join(self.root, epoch_rel)
         if os.path.exists(epoch_dir):  # orphan from a crashed attempt
             shutil.rmtree(epoch_dir)
+        n_parts = max(1, len(touched)) if self.prune_buckets else self.num_buckets
         to_write = (
-            merged.repartition(max(1, len(touched)), "_bucket")
+            merged.repartition(n_parts, "_bucket")
             if self.write_repartition
             else merged  # AQE-coalesced shuffle output; more files per bucket
         )
@@ -187,11 +218,20 @@ class BucketedMergeSink:
             for d in os.listdir(epoch_dir)
             if d.startswith("_bucket=")
         }
-        for b in touched:
-            if b in written:
-                buckets_map[str(b)] = written[b]
-            else:
-                buckets_map.pop(str(b), None)
+        if self.prune_buckets:
+            for b in touched:
+                if b in written:
+                    buckets_map[str(b)] = written[b]
+                else:
+                    buckets_map.pop(str(b), None)
+        else:
+            # every live bucket was read and rewritten: the written set IS
+            # the new table (absent bucket = fully deleted)
+            buckets_map = {str(b): rel for b, rel in written.items()}
+            stats_thread.join()
+            if "error" in stats_box:
+                raise stats_box["error"]
+            lineage_stats, _ = stats_box["result"]
 
         stats = {
             "epoch": epoch,

@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis): random nested envelopes vs an
+independently-written reference-semantics oracle; canonicalization and
+codec idempotence/round-trip properties."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_converter_json_spark.functions.canonical_json import (
+    canonical_dumps,
+    canonicalize_str,
+)
+from kafka_connect_converter_json_spark.functions.paths import (
+    ExtractionError,
+    compile_path,
+    json_stringify_scalar,
+)
+from kafka_connect_converter_json_spark.sources import avro_codec as av
+
+# --- strategies -------------------------------------------------------------
+
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+envelopes = st.dictionaries(st.text(min_size=1, max_size=8), json_values, min_size=1, max_size=5)
+paths = st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=3).map(tuple)
+
+
+# --- independent oracle for the dotted-path semantics ------------------------
+
+def _oracle_extract(path, obj):
+    """Second, independent implementation of JC:417-501 semantics."""
+    cur = obj
+    for seg in path[:-1]:
+        if isinstance(cur, list):
+            if not cur:
+                raise ExtractionError("empty array")
+            cur = cur[0]
+        if not (isinstance(cur, dict) and seg in cur):
+            raise ExtractionError("missing intermediate")
+        cur = cur[seg]
+    if isinstance(cur, list):
+        cur = cur[0] if cur else None
+    if not isinstance(cur, dict):
+        return None
+    leaf = cur.get(path[-1])
+    if isinstance(leaf, list):
+        leaf = leaf[0] if leaf else None
+    if isinstance(leaf, dict):
+        leaf = leaf[min(leaf)] if leaf else None
+    return json_stringify_scalar(leaf)
+
+
+@settings(max_examples=300, deadline=None)
+@given(envelopes, paths)
+def test_extraction_matches_oracle(obj, path):
+    compiled = compile_path(path)
+    try:
+        expected = _oracle_extract(path, obj)
+        raised = None
+    except ExtractionError:
+        expected, raised = None, True
+    try:
+        got = compiled(obj)
+        assert raised is None
+        assert got == expected
+    except ExtractionError:
+        assert raised is True
+
+
+@settings(max_examples=200, deadline=None)
+@given(envelopes)
+def test_canonicalization_idempotent(obj):
+    s = canonical_dumps(obj)
+    assert canonicalize_str(s) == s  # fixpoint
+    assert json.loads(s) == obj  # lossless
+
+
+@settings(max_examples=200, deadline=None)
+@given(envelopes, paths)
+def test_extraction_invariant_under_canonicalization(obj, path):
+    """ingest(ingest(x)) == ingest(x): extraction over the canonical
+    re-parse equals extraction over the original parse."""
+    compiled = compile_path(path)
+    reparsed = json.loads(canonical_dumps(obj))
+    try:
+        a = compiled(obj)
+    except ExtractionError:
+        a = "__ERR__"
+    try:
+        b = compiled(reparsed)
+    except ExtractionError:
+        b = "__ERR__"
+    assert a == b
+
+
+# --- avro codec round-trip ----------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "o", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+avro_values = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**62), max_value=2**62),
+        "s": st.text(max_size=30),
+        "o": st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        "arr": st.lists(st.text(max_size=10), max_size=5),
+        "m": st.dictionaries(st.text(min_size=1, max_size=6), st.integers(-1000, 1000), max_size=4),
+    }
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(avro_values)
+def test_avro_roundtrip(value):
+    assert av.decode(AVRO_SCHEMA, av.encode(AVRO_SCHEMA, value)) == value
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_zigzag_roundtrip(n):
+    r = av._Reader(av._zz(n))
+    assert r.zigzag() == n
