@@ -72,20 +72,25 @@ def main() -> None:
     # 3. LWW partial+final aggregation
     ev = gen_events(spark, 10000)
     lww = lww_latest(ev.select("repo", "path", "lsn", "op"), ["repo", "path"], "lsn")
+    # max_by carries a var-width (string) aggregation buffer, so Spark
+    # plans SortAggregate rather than HashAggregate — the property that
+    # matters at scale is partial_max BEFORE the Exchange (map-side
+    # combine: shuffle volume bounded by |keys x partitions|, not |events|)
     sections.append((
-        "LWW dedup (max_by partial + final HashAggregate)",
+        "LWW dedup (max_by partial aggregate before the shuffle)",
         formatted(lww),
-        ["HashAggregate", "partial_max"],
+        ["SortAggregate", "partial_max", "Exchange"],
     ))
 
     # 4. native ingest path: zero Python
     sch = infer_envelope_schema(spark, ev, "value_json")
     typed = convert_events(ev, default_config(), "native", sch)
     plan4 = formatted(typed)
+    # formatted mode marks whole-stage codegen per node as "[codegen id : N]"
     sections.append((
         "Native ingest parse path (from_json, no Python nodes)",
         plan4,
-        ["WholeStageCodegen"],
+        ["codegen id"],
     ))
 
     checks = []
