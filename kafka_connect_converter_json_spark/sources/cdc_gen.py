@@ -48,6 +48,7 @@ def gen_events(
     seed: int = 42,
     num_partitions: int | None = None,
     start: int = 0,
+    evolve_at: int | None = None,
 ) -> DataFrame:
     """Generate the F1 change-event stream; ``lsn`` is the total order.
 
@@ -106,16 +107,25 @@ def gen_events(
     )
     content = F.repeat(block, (F.pmod(_h(id_, seed + 7), F.lit(6)) + 1).cast("int"))
 
-    envelope = F.to_json(
-        F.struct(
-            F.struct(repo.alias("repo"), path.alias("path")).alias("meta"),
-            F.struct(commit.alias("id"), id_.alias("lsn")).alias("commit"),
-            lang.alias("lang"),
-            F.array(lang, F.lit("code")).alias("tags"),
-            content.alias("content"),
-            op.alias("op"),
+    env_fields = [
+        F.struct(repo.alias("repo"), path.alias("path")).alias("meta"),
+        F.struct(commit.alias("id"), id_.alias("lsn")).alias("commit"),
+        lang.alias("lang"),
+        F.array(lang, F.lit("code")).alias("tags"),
+        content.alias("content"),
+        op.alias("op"),
+    ]
+    if evolve_at is not None:
+        # additive schema evolution mid-stream (FIXTURES F1 + SURVEY N2):
+        # events at lsn >= evolve_at carry a new nullable field — the
+        # registry must widen, earlier rows read back as null
+        env_fields.append(
+            F.when(
+                id_ >= evolve_at,
+                F.concat(F.lit("branch-"), F.pmod(_h(id_, seed + 8), F.lit(5)).cast("string")),
+            ).alias("branch")
         )
-    )
+    envelope = F.to_json(F.struct(*env_fields))
 
     return rng.select(
         id_.alias("lsn"),

@@ -58,6 +58,17 @@ def default_config() -> ConverterConfig:
     )
 
 
+def infer_envelope_schema_from_sample(spark: SparkSession, sample_json: str) -> T.StructType:
+    """One envelope string -> StructType (driver-side compile step)."""
+    ddl = spark.range(1).select(
+        F.schema_of_json(F.lit(sample_json)).alias("s")
+    ).collect()[0]["s"]
+    dt = T._parse_datatype_string(ddl)
+    if not isinstance(dt, T.StructType):
+        raise ValueError(f"envelope root must be a struct, got {ddl}")
+    return dt
+
+
 def infer_envelope_schema(spark: SparkSession, events: DataFrame, value_col: str) -> T.StructType:
     """Driver-side schema inference from one sampled envelope (the
     registry 'observe' step; cheap — one take(1))."""
@@ -66,13 +77,44 @@ def infer_envelope_schema(spark: SparkSession, events: DataFrame, value_col: str
     )
     if not sample:
         return T.StructType([])
-    ddl = spark.range(1).select(
-        F.schema_of_json(F.lit(sample[0][0])).alias("s")
-    ).collect()[0]["s"]
-    dt = T._parse_datatype_string(ddl)
-    if not isinstance(dt, T.StructType):
-        raise ValueError(f"envelope root must be a struct, got {ddl}")
-    return dt
+    return infer_envelope_schema_from_sample(spark, sample[0][0])
+
+
+def _native_key_items(config: ConverterConfig) -> list[tuple[str, str]]:
+    """Union of all schemas' key maps as (dotted_path, folded_target_col),
+    deterministic order: the JVM analogue of the compiled instruction list
+    (JC:198-209), built once per plan."""
+    seen: dict[str, str] = {}
+    for schema_name in sorted(config.keys):
+        for old, new in sorted(config.keys[schema_name].items()):
+            seen.setdefault(config.fold(new), old)
+    return [(old, new) for new, old in seen.items()]
+
+
+def _native_path_expr(dotted: str, schema: T.StructType):
+    """Compile a dotted path against the registry's (possibly widened)
+    envelope schema. A segment the schema does not (yet) carry compiles to
+    NULL — pre-evolution epochs read the new column as null, which is the
+    additive-widening contract (SURVEY.md N2). Array segments unwrap to
+    element [0] (JC:561-562); map segments to the first value in key order
+    (deterministic surrogate, SURVEY.md §2.1 O9)."""
+    cur_type: T.DataType = schema
+    expr = F.col("_env")
+    for seg in dotted.split("."):
+        if isinstance(cur_type, T.ArrayType):
+            expr = F.element_at(expr, 1)
+            cur_type = cur_type.elementType
+        if isinstance(cur_type, T.MapType):
+            expr = F.element_at(F.map_values(F.map_from_entries(
+                F.array_sort(F.map_entries(expr)))), 1)
+            cur_type = cur_type.valueType
+        if not isinstance(cur_type, T.StructType) or seg not in cur_type.fieldNames():
+            return F.lit(None).cast("string")
+        expr = expr[seg]
+        cur_type = cur_type[seg].dataType
+    if isinstance(cur_type, T.ArrayType):  # leaf unwrap: array head
+        expr = F.element_at(expr, 1)
+    return expr
 
 
 def convert_events(
@@ -108,11 +150,11 @@ def convert_events(
             passthrough=("lsn", "op", "key_json", "kafka_partition", "kafka_offset"),
         )
         sel = []
-        for c in TARGET_COLS:
-            col = F.col(config.fold(c))
-            if c in key_from_key_json:
-                col = F.coalesce(key_from_key_json[c], col)
-            sel.append(col.alias(c))
+        for _old, new_col in _native_key_items(config):
+            col = F.col(new_col)
+            if new_col in key_from_key_json:
+                col = F.coalesce(key_from_key_json[new_col], col)
+            sel.append(col.alias(new_col))
         tail = [F.col(config.payload_column).alias("payload")] if include_payload else []
         return conv.select(
             *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail
@@ -121,25 +163,18 @@ def convert_events(
     if envelope_schema is None:
         raise ValueError("native parse mode requires an envelope schema (registry-compiled)")
     parsed = events.withColumn("_env", F.from_json("value_json", envelope_schema))
-    path_exprs = {  # compiled from config.keys — dotted access JVM-side
-        "repo": F.col("_env.meta.repo"),
-        "path": F.col("_env.meta.path"),
-        "commit": F.col("_env.commit.id"),
-        "lang": F.col("_env.lang"),
-        "content": F.col("_env.content"),
-    }
     sel = []
-    for c in TARGET_COLS:
-        if c in key_from_key_json:
+    for old_path, new_col in _native_key_items(config):
+        if new_col in key_from_key_json:
             # CDC contract: the record key carries the merge key for EVERY
             # event (deletes have no envelope at all, JC:316-318). Taking
             # it from key_json alone — no envelope fallback — lets Catalyst
             # drop from_json entirely from plans that only need keys
             # (the sink's stats/bucket pass: one full parse saved per epoch).
-            col = key_from_key_json[c]
+            col = key_from_key_json[new_col]
         else:
-            col = path_exprs[c]
-        sel.append(col.cast("string").alias(c))
+            col = _native_path_expr(old_path, envelope_schema)
+        sel.append(col.cast("string").alias(new_col))
     tail = [F.to_json("_env").alias("payload")] if include_payload else []
     return parsed.select(
         *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail
@@ -176,11 +211,6 @@ def ingest(
         num_buckets=num_buckets, **sink_kwargs,
     )
 
-    env_schema = None
-    if parse_mode == "native":
-        env_schema = infer_envelope_schema(spark, events, "value_json")
-        env_schema, _ = registry.observe("SourceChange", env_schema)
-
     per_epoch = max(1, -(-n_events // n_epochs))  # ceil
     done = 0
     committed = sink.committed_epochs()
@@ -192,6 +222,28 @@ def ingest(
             batch = epoch_source(lo, hi)
         else:
             batch = events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+        env_schema = None
+        if parse_mode == "native":
+            # registry observe per epoch (N2): sample the first AND last
+            # envelopes of the epoch (two take(1) jobs — cheap next to the
+            # epoch itself), widen additively; the compiled extraction then
+            # reads fields the schema does not yet carry as null
+            for sample in (
+                batch.filter(F.col("value_json").isNotNull()).select("value_json").limit(1),
+                batch.filter(F.col("value_json").isNotNull())
+                .orderBy(F.col("lsn").desc())
+                .select("value_json")
+                .limit(1),
+            ):
+                rows = sample.collect()
+                if rows:
+                    inferred = infer_envelope_schema_from_sample(spark, rows[0][0])
+                    registry.observe("SourceChange", inferred)
+            env_schema = registry.get("SourceChange")
+            if env_schema is None:
+                raise ValueError("no envelope observed — empty epoch 0 with no registry state")
+
         typed = convert_events(batch, config, parse_mode, env_schema)
         sink.merge(typed, epoch)
         done += 1

@@ -186,12 +186,19 @@ class BucketedMergeSink:
         cols = [*self.keys, self.order_col, self.op_col, *payload_cols, "_bucket"]
         sides = batch_b.select(*cols)
         if current_paths:
+            # mergeSchema + allowMissingColumns: bucket files written before
+            # a schema evolution lack the new columns; they read back as
+            # null (additive-widening contract, SURVEY.md N2 / Iceberg
+            # ADD COLUMN semantics)
             cur = (
-                self.spark.read.parquet(*current_paths)
+                self.spark.read.option("mergeSchema", "true").parquet(*current_paths)
                 .withColumn(self.op_col, F.lit("u"))
                 .withColumn("_bucket", self._bucket_expr())
             )
-            sides = sides.unionByName(cur.select(*cols))
+            sides = sides.unionByName(
+                cur.select(*[c for c in cols if c in cur.columns]),
+                allowMissingColumns=True,
+            )
 
         # single wide shuffle: LWW over (keys, bucket) with map-side combine
         merged = (
@@ -289,7 +296,7 @@ class BucketedMergeSink:
         paths = [os.path.join(self.root, rel) for rel in self._manifest["buckets"].values()]
         if not paths:
             raise ValueError("sink is empty — no committed buckets")
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))
