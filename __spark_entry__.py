@@ -342,6 +342,76 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that have orders, per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate with decimal-exact sums (grouping-set coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users seen in 'click' events EXCEPT users that ever
+    errored, unioned with purchase-only users (distinct pipeline)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(erring).union(purchasers).distinct()
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted join (N4 applied to joins): replicate the
+    small side over SALT buckets so one hot key fans out across tasks;
+    result equals the plain join (oracle computes it plainly)."""
+    SALT = 8
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int"))
+    joined = salted.join(dim_rep, ["user_id", "_salt"])
+    return (
+        joined.groupBy("user_id", "user_events")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline queries
 # ---------------------------------------------------------------------------
@@ -505,6 +575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": q_agg_pushdown,
         "join_broadcast": q_join_broadcast,
         "window_topk": q_window_topk,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup": q_rollup,
+        "set_ops": q_set_ops,
+        "skew_salted_join": q_skew_salted_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -665,6 +740,43 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders
             ) WHERE rank <= 3
+        """,
+        "semi_join": """
+            SELECT c_nationkey, count(*) AS n_active
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """,
+        "rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events WHERE event_type='click'
+                EXCEPT ALL
+                SELECT DISTINCT user_id FROM events WHERE event_type='error'
+              )
+              UNION ALL
+              SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+            )
+        """,
+        "skew_salted_join": """
+            WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+            SELECT e.user_id, d.user_events, count(*) AS n_events
+            FROM events e JOIN dim d ON e.user_id = d.user_id
+            GROUP BY e.user_id, d.user_events
         """,
         "dedup_exact": f"""
             WITH docs AS ({_dup_union_sql()}),
