@@ -26,6 +26,9 @@ final state (sha256-per-row parity test in tests/test_ingest_e2e.py).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -157,12 +160,26 @@ def convert_events(
             sel.append(col.alias(new_col))
         tail = [F.col(config.payload_column).alias("payload")] if include_payload else []
         return conv.select(
-            *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail
+            *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail,
+            F.col("_error").isNotNull().alias("_corrupt"),
         )
 
     if envelope_schema is None:
         raise ValueError("native parse mode requires an envelope schema (registry-compiled)")
-    parsed = events.withColumn("_env", F.from_json("value_json", envelope_schema))
+    # corrupt-record channel: PERMISSIVE from_json yields a struct of nulls
+    # (not a null struct) for partially-parseable input, so corruption is
+    # detected via the dedicated corrupt-record column, exactly
+    parse_schema = T.StructType(
+        list(envelope_schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = events.withColumn(
+        "_env",
+        F.from_json(
+            "value_json",
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
     sel = []
     for old_path, new_col in _native_key_items(config):
         if new_col in key_from_key_json:
@@ -175,9 +192,14 @@ def convert_events(
         else:
             col = _native_path_expr(old_path, envelope_schema)
         sel.append(col.cast("string").alias(new_col))
-    tail = [F.to_json("_env").alias("payload")] if include_payload else []
+    tail = [F.to_json(F.col("_env").dropFields("_corrupt_record")).alias("payload")] if include_payload else []
+    # Without this flag a corrupt UPDATE would LWW-win with null content.
+    corrupt = F.col("value_json").isNotNull() & (
+        F.col("_env").isNull() | F.col("_env._corrupt_record").isNotNull()
+    )
     return parsed.select(
-        *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail
+        *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail,
+        corrupt.alias("_corrupt"),
     )
 
 
@@ -193,6 +215,7 @@ def ingest(
     num_buckets: int = 64,
     fail_after_epochs: int | None = None,
     epoch_source=None,
+    quarantine: bool = False,
     **sink_kwargs,
 ) -> BucketedMergeSink:
     """Replay ``events`` into the sink in ``n_epochs`` LSN-range epochs.
@@ -238,13 +261,26 @@ def ingest(
             ):
                 rows = sample.collect()
                 if rows:
-                    inferred = infer_envelope_schema_from_sample(spark, rows[0][0])
+                    try:
+                        inferred = infer_envelope_schema_from_sample(spark, rows[0][0])
+                    except Exception:  # noqa: BLE001 — corrupt sample: skip
+                        continue
                     registry.observe("SourceChange", inferred)
             env_schema = registry.get("SourceChange")
             if env_schema is None:
                 raise ValueError("no envelope observed — empty epoch 0 with no registry state")
 
         typed = convert_events(batch, config, parse_mode, env_schema)
+        if quarantine:
+            # bad-record side output (O19): corrupt envelopes never reach
+            # the MERGE (a corrupt update must not LWW-win with nulls);
+            # written before the epoch commits so replay re-quarantines
+            bad = typed.filter(F.col("_corrupt")).drop("_corrupt")
+            qdir = os.path.join(sink_root, "quarantine", f"e{epoch:06d}")
+            if os.path.exists(qdir):
+                shutil.rmtree(qdir)
+            bad.write.parquet(qdir)
+        typed = typed.filter(~F.col("_corrupt")).drop("_corrupt")
         sink.merge(typed, epoch)
         done += 1
         if fail_after_epochs is not None and done >= fail_after_epochs:

@@ -74,6 +74,7 @@ def stream_ingest(
             spark, sink_root, keys=["repo", "path"], order_col="lsn", num_buckets=num_buckets
         )
         typed = convert_events(batch_df, config, "native", env_schema)
+        typed = typed.filter(~typed["_corrupt"]).drop("_corrupt")
         sink.merge(typed, epoch=int(batch_id))
 
     writer = events.writeStream.foreachBatch(process).option(
