@@ -44,7 +44,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import lww_latest
+from ..operators.dedup import lww_latest, lww_latest_salted
 
 MANIFEST = "_manifest.json"
 
@@ -62,6 +62,8 @@ class BucketedMergeSink:
         write_repartition: bool = True,
         persist_batch: bool = False,
         prune_buckets: bool = True,
+        salted_merge: bool = False,
+        salt_buckets: int = 32,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
         #   repartition+persist 13.1s; repartition only 10.5s (default);
@@ -85,6 +87,12 @@ class BucketedMergeSink:
         # (uniform-update benchmarks), where discovery is pure critical-path
         # overhead.
         self.prune_buckets = prune_buckets
+        # salted_merge: two-level LWW reduce inside the MERGE (N4) — for
+        # pathological per-key skew (one (repo,path) receiving a large
+        # fraction of an epoch). Costs one extra (tiny) reduce; off by
+        # default since hash-bucketing already spreads *key-space* skew.
+        self.salted_merge = salted_merge
+        self.salt_buckets = salt_buckets
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
 
@@ -201,8 +209,14 @@ class BucketedMergeSink:
             )
 
         # single wide shuffle: LWW over (keys, bucket) with map-side combine
+        # (salted variant adds a second, tiny reduce for hot-key skew)
+        lww = (
+            (lambda df, k, o, p: lww_latest_salted(df, k, o, p, self.salt_buckets))
+            if self.salted_merge
+            else lww_latest
+        )
         merged = (
-            lww_latest(sides, self.keys + ["_bucket"], self.order_col, payload_cols + [self.op_col])
+            lww(sides, self.keys + ["_bucket"], self.order_col, payload_cols + [self.op_col])
             .filter(F.col(self.op_col) != self.delete_op)
             .drop(self.op_col)
         )

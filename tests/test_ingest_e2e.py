@@ -117,6 +117,16 @@ def test_noprune_mode_identical_state_and_lineage(spark, events, oracle, tmp_pat
     assert lin["n_events"].sum() == N_EVENTS
 
 
+def test_salted_merge_identical_state(spark, events, oracle, tmp_path):
+    """salted_merge=True (two-level LWW inside the MERGE, for pathological
+    per-key skew) must be byte-identical to the plain path."""
+    sink = ingest(
+        spark, events, str(tmp_path / "tbl_salted"), N_EVENTS, n_epochs=3,
+        num_buckets=8, salted_merge=True, salt_buckets=8,
+    )
+    assert _state_hash(_read_state(sink)) == _state_hash(oracle)
+
+
 def test_lineage_rows_cover_all_partitions(spark, events, tmp_path):
     sink = ingest(spark, events, str(tmp_path / "tbl_lin"), N_EVENTS, n_epochs=2, num_buckets=8)
     lin = sink.read_lineage().toPandas()
