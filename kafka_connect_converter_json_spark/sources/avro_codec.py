@@ -156,13 +156,122 @@ def decode(schema, payload: bytes) -> object:
 
 
 # ---------------------------------------------------------------------------
+# logical-type schema rewrite (O13, JC:551-633) — schema-level, the
+# counterpart of the value-level stringify below. The reference's one
+# live test assertion is the golden JSON of this rewrite (TEST:878-879).
+# ---------------------------------------------------------------------------
+
+#: avro logical type -> rewritten custom logical-type name (JC:579-615)
+_REWRITE_NAMES = {
+    "date": "jsondate",
+    "decimal": "jsondecimal",
+    "time-millis": "jsontime",
+    "time-micros": "jsontimemicros",
+    "timestamp-millis": "jsontimestamp",
+    "timestamp-micros": "jsontimestampmicros",
+    "local-timestamp-millis": "jsonlocaltimestamp",
+    "local-timestamp-micros": "jsonlocaltimestampmicros",
+    "uuid": "uuid",
+}
+
+
+def rewrite_logical_schema(schema):
+    """Recursively rewrite an Avro schema: every logical-typed leaf
+    becomes ``string`` carrying a custom ``JSON*`` logical type, so JSON
+    encoding emits human-readable strings (JC:551-633). decimal keeps its
+    precision/scale properties (JC:583-587,920-958). Unknown logical
+    types raise (JC:616-618)."""
+    schema = parse_schema(schema)
+    if isinstance(schema, list):  # union: branch-wise (JC:565-570)
+        return [rewrite_logical_schema(b) for b in schema]
+    if isinstance(schema, str):
+        return schema
+    t = schema.get("type")
+    logical = schema.get("logicalType")
+    if logical is not None:
+        if logical not in _REWRITE_NAMES:
+            raise AvroDecodeError(f"Unknown logical type: {logical!r}")  # JC:616-618
+        out = {"type": "string", "logicalType": _REWRITE_NAMES[logical]}
+        if logical == "decimal":  # keep precision/scale props (JC:583-587)
+            for k in ("precision", "scale"):
+                if k in schema:
+                    out[k] = schema[k]
+        return out
+    if t == "record":
+        return {
+            **{k: v for k, v in schema.items() if k != "fields"},
+            "fields": [
+                {**f, "type": rewrite_logical_schema(f["type"])} for f in schema["fields"]
+            ],
+        }
+    if t == "array":
+        return {**schema, "items": rewrite_logical_schema(schema["items"])}
+    if t == "map":
+        return {**schema, "values": rewrite_logical_schema(schema["values"])}
+    return schema
+
+
+# ---------------------------------------------------------------------------
 # logical-type stringification over decoded trees (O13+O14 combined)
 # ---------------------------------------------------------------------------
 
-def stringify_logical(schema, value):
+def _union_branch_name(branch, include_namespace: bool) -> str:
+    """JSON-encoding branch label for a union value (Avro JsonEncoder
+    semantics over the REWRITTEN schema — logical leaves label as
+    'string'). ``includenamespace`` qualifies record names (JC:233-234,
+    JCC:22,70)."""
+    branch = parse_schema(branch)
+    if isinstance(branch, str):
+        return branch
+    t = branch.get("type")
+    if "logicalType" in branch:
+        return "string"  # rewritten to string by O13
+    if t in ("record", "enum", "fixed"):
+        ns = branch.get("namespace")
+        if include_namespace and ns:
+            return f"{ns}.{branch['name']}"
+        return branch["name"]
+    return t
+
+
+def _branch_matches(branch, value) -> bool:
+    """Structural union-branch resolution: does ``value`` belong to this
+    branch? Records require every value key to be a declared field (the
+    ambiguity only exists because the binary decoder returns bare values;
+    a loose match would silently project onto the wrong record)."""
+    branch = parse_schema(branch)
+    t = schema_type(branch)
+    if t == "record":
+        if not isinstance(value, dict):
+            return False
+        fields = {f["name"] for f in branch["fields"]}
+        return set(value.keys()) <= fields
+    if t == "map":
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, list)
+    if t in ("string", "enum") or (isinstance(branch, dict) and branch.get("logicalType") == "uuid"):
+        return isinstance(value, str)
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if t in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    return True  # logical ints/longs etc. handled by the checks above
+
+
+def stringify_logical(schema, value, union_wrap: bool = False, include_namespace: bool = False):
     """Walk schema+value; rewrite logical-typed leaves to their string
     forms (the decoded-tree analogue of createLogicalTypesStringSchema,
-    JC:551-633, + the nine Conversions, JC:1033-1262)."""
+    JC:551-633, + the nine Conversions, JC:1033-1262).
+
+    ``union_wrap=True`` reproduces Avro JsonEncoder union encoding:
+    non-null union values wrap as ``{"<branch>": value}`` (JC:228-257);
+    default False emits the engine's canonical unwrapped form.
+    """
     from ..functions import logical_types as lt
 
     if value is None:
@@ -170,17 +279,15 @@ def stringify_logical(schema, value):
     schema = parse_schema(schema)
     t = schema_type(schema)
     if t == "union":
-        for branch in schema:
-            if schema_type(branch) == "null" and value is None:
-                return None
         # decoded value lost its branch tag; rewrite against the first
         # non-null branch that structurally matches
         for branch in schema:
-            if schema_type(branch) != "null":
-                try:
-                    return stringify_logical(branch, value)
-                except (AvroDecodeError, TypeError, KeyError):
-                    continue
+            if schema_type(branch) == "null" or not _branch_matches(branch, value):
+                continue
+            converted = stringify_logical(branch, value, union_wrap, include_namespace)
+            if union_wrap:
+                return {_union_branch_name(branch, include_namespace): converted}
+            return converted
         return value
     if isinstance(schema, dict) and "logicalType" in schema:
         l = schema["logicalType"]
@@ -189,13 +296,16 @@ def stringify_logical(schema, value):
         return lt.convert(l, value)
     if t == "record":
         return {
-            f["name"]: stringify_logical(f["type"], value.get(f["name"]))
+            f["name"]: stringify_logical(f["type"], value.get(f["name"]), union_wrap, include_namespace)
             for f in schema["fields"]
         }
     if t == "array":
-        return [stringify_logical(schema["items"], v) for v in value]
+        return [stringify_logical(schema["items"], v, union_wrap, include_namespace) for v in value]
     if t == "map":
-        return {k: stringify_logical(schema["values"], v) for k, v in value.items()}
+        return {
+            k: stringify_logical(schema["values"], v, union_wrap, include_namespace)
+            for k, v in value.items()
+        }
     if t == "bytes" and isinstance(value, bytes):
         return value.decode("latin-1")  # avro json encoding of bytes
     if t == "fixed" and isinstance(value, bytes):

@@ -117,6 +117,67 @@ def test_logical_type_stringification_golden():
     }
 
 
+def test_union_wrap_and_namespace():
+    """Avro JsonEncoder union encoding (F4 customer_state fixture shape):
+    non-null union values wrap as {"<branch>": value}; includenamespace
+    qualifies record names (JC:233-234)."""
+    schema = {
+        "type": "record",
+        "name": "Holder",
+        "fields": [
+            {
+                "name": "event",
+                "type": [
+                    "null",
+                    {"type": "record", "name": "AddressAdded", "namespace": "no.nt",
+                     "fields": [{"name": "x", "type": "int"}]},
+                    {"type": "record", "name": "AddressRemoved", "namespace": "no.nt",
+                     "fields": [{"name": "y", "type": "string"}]},
+                ],
+            },
+            {"name": "opt", "type": ["null", "int"]},
+        ],
+    }
+    value = {"event": {"y": "gone"}, "opt": 5}
+    plain = av.stringify_logical(schema, value)
+    assert plain == {"event": {"y": "gone"}, "opt": 5}
+    wrapped = av.stringify_logical(schema, value, union_wrap=True)
+    assert wrapped == {"event": {"AddressRemoved": {"y": "gone"}}, "opt": {"int": 5}}
+    qualified = av.stringify_logical(schema, value, union_wrap=True, include_namespace=True)
+    assert qualified["event"] == {"no.nt.AddressRemoved": {"y": "gone"}}
+    # null union value never wraps
+    assert av.stringify_logical(schema, {"event": None, "opt": None}, union_wrap=True) == {
+        "event": None,
+        "opt": None,
+    }
+
+
+def test_schema_rewrite_golden():
+    """Port of the reference's one live assertion (TEST:878-879): the
+    rewritten schema replaces every logical leaf with string + a JSON*
+    logical type, preserving decimal precision/scale and union shape."""
+    rewritten = av.rewrite_logical_schema(LOGICAL)
+    by_name = {f["name"]: f["type"] for f in rewritten["fields"]}
+    assert by_name["date"] == {"type": "string", "logicalType": "jsondate"}
+    assert by_name["time"] == {"type": "string", "logicalType": "jsontime"}
+    assert by_name["ts"] == {"type": "string", "logicalType": "jsontimestamp"}
+    assert by_name["tsmicro"] == {"type": "string", "logicalType": "jsontimestampmicros"}
+    assert by_name["localts"] == {"type": "string", "logicalType": "jsonlocaltimestamp"}
+    assert by_name["uuid"] == {"type": "string", "logicalType": "uuid"}
+    assert by_name["decimal"] == {
+        "type": "string",
+        "logicalType": "jsondecimal",
+        "precision": 64,
+        "scale": 0,
+    }
+    # optional union keeps its null branch, logical branch rewritten
+    assert by_name["optdate"] == ["null", {"type": "string", "logicalType": "jsondate"}]
+    # non-logical fields pass through untouched; unknown logical throws
+    assert av.rewrite_logical_schema({"type": "int"}) == {"type": "int"}
+    with pytest.raises(av.AvroDecodeError, match="Unknown logical type"):
+        av.rewrite_logical_schema({"type": "fixed", "size": 12, "name": "d", "logicalType": "duration"})
+
+
 def test_wire_format_and_registry():
     reg = av.LocalSchemaRegistry.of({7: COMPLEX})
     framed = av.encode_wire(7, av.encode(COMPLEX, VALUE))
