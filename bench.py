@@ -86,14 +86,18 @@ def bench_ingest(spark, n_events: int, num_partitions: int) -> dict:
         # reads files); epoch filters prune on parquet lsn min/max stats
         gen_events(spark, n_events, **params).write.mode("overwrite").parquet(src_pq)
         events = spark.read.parquet(src_pq)
-        t0 = time.time()
         # A/B at local[32]: pruned (9.4-13.4s) beats concurrent-stats
         # no-prune (11.7-15.0s) — with 32 local threads the stats job
         # parallelizes fully; no-prune only wins in the executor-
-        # constrained local-cluster regime (see tools/bench_scaling.py)
-        ingest(spark, events, root, n_events, n_epochs=4, parse_mode="native",
-               num_buckets=32, prune_buckets=True)
-        dt = time.time() - t0
+        # constrained local-cluster regime (see tools/bench_scaling.py).
+        # Best of 2 trials: the shared sandbox host is noisy.
+        dt = float("inf")
+        for _trial in range(2):
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.time()
+            ingest(spark, events, root, n_events, n_epochs=4, parse_mode="native",
+                   num_buckets=32, prune_buckets=True)
+            dt = min(dt, time.time() - t0)
         return {"ingest_events": n_events, "ingest_sec": round(dt, 2),
                 "ingest_events_per_sec": round(n_events / dt)}
     finally:
