@@ -258,6 +258,9 @@ class BucketedMergeSink:
             "epoch": epoch,
             "touched_buckets": len(touched),
             "lineage": lineage_stats,
+            # snapshot: the full bucket map as of this epoch — enables
+            # time travel (read_as_of) exactly like an Iceberg snapshot
+            "buckets": buckets_map,
         }
         manifest = dict(self._manifest)
         manifest["buckets"] = buckets_map
@@ -311,6 +314,55 @@ class BucketedMergeSink:
         if not paths:
             raise ValueError("sink is empty — no committed buckets")
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def read_as_of(self, epoch: int) -> DataFrame:
+        """Time travel: table state as of a committed epoch (the epoch's
+        bucket-map snapshot is recorded in the manifest at commit time —
+        the Iceberg snapshot-read analogue). Valid until ``vacuum``."""
+        for e in self._manifest["epochs"]:
+            if e["epoch"] == epoch:
+                paths = [os.path.join(self.root, rel) for rel in e["buckets"].values()]
+                if not paths:
+                    raise ValueError(f"epoch {epoch} committed an empty table")
+                return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        raise ValueError(f"epoch {epoch} is not committed")
+
+    def vacuum(self, keep_epochs: int = 0) -> list[str]:
+        """Delete data directories unreachable from the current bucket map
+        and the last ``keep_epochs`` epoch snapshots (orphans from crashed
+        attempts + superseded copy-on-write files). Returns removed paths.
+        Storage hygiene at scale: without vacuum, COW keeps every epoch's
+        full rewrite forever."""
+        keep: set[str] = set(self._manifest["buckets"].values())
+        for e in self._manifest["epochs"][-keep_epochs:] if keep_epochs else []:
+            keep.update(e["buckets"].values())
+        keep_rel = set(keep)
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        if not os.path.isdir(data_root):
+            return removed
+        for epoch_dir in sorted(os.listdir(data_root)):
+            full_epoch_rel = f"data/{epoch_dir}"
+            for bucket_dir in sorted(os.listdir(os.path.join(data_root, epoch_dir))):
+                if not bucket_dir.startswith("_bucket="):
+                    continue
+                rel = f"{full_epoch_rel}/{bucket_dir}"
+                if rel not in keep_rel:
+                    shutil.rmtree(os.path.join(self.root, rel))
+                    removed.append(rel)
+            if not any(
+                d.startswith("_bucket=") for d in os.listdir(os.path.join(data_root, epoch_dir))
+            ):
+                shutil.rmtree(os.path.join(data_root, epoch_dir))
+        # epochs whose snapshots were vacuumed lose time travel; record that
+        manifest = dict(self._manifest)
+        manifest["vacuumed_below"] = (
+            max((e["epoch"] for e in manifest["epochs"]), default=-1) - keep_epochs + 1
+            if keep_epochs
+            else max((e["epoch"] for e in manifest["epochs"]), default=-1)
+        )
+        self._commit_manifest(manifest)
+        return removed
 
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))

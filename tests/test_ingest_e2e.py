@@ -117,6 +117,31 @@ def test_noprune_mode_identical_state_and_lineage(spark, events, oracle, tmp_pat
     assert lin["n_events"].sum() == N_EVENTS
 
 
+def test_time_travel_and_vacuum(spark, events, tmp_path):
+    """read_as_of(k) reproduces the table state after epoch k (Iceberg
+    snapshot-read analogue); vacuum removes superseded COW files while
+    the current state stays intact."""
+    root = str(tmp_path / "tbl_tt")
+    sink = ingest(spark, events, root, N_EVENTS, n_epochs=4, num_buckets=8)
+    per = -(-N_EVENTS // 4)
+    # state as of epoch 1 == independent replay of the first 2 epochs
+    asof = sink.read_as_of(1).select("repo", "path", "commit", "lang", "content", "lsn").toPandas()
+    prefix_oracle = _oracle_final_state(
+        events.filter(f"lsn < {2 * per}")
+        .select("lsn", "op", "repo", "path", "value_json")
+        .toPandas()
+    )
+    assert _state_hash(asof) == _state_hash(prefix_oracle)
+    before = _state_hash(_read_state(sink))
+    removed = sink.vacuum()
+    assert removed  # superseded epoch-0..2 rewrites exist
+    assert _state_hash(_read_state(sink)) == before  # current state intact
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sink.read_as_of(0).collect()  # vacuumed snapshot is gone
+
+
 def test_salted_merge_identical_state(spark, events, oracle, tmp_path):
     """salted_merge=True (two-level LWW inside the MERGE, for pathological
     per-key skew) must be byte-identical to the plain path."""
