@@ -47,10 +47,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    dedupe: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
-    split -> transform(sequence) -> explode -> distinct."""
+    """Word n-gram shingles per doc: (id, shingle). JVM-side:
+    split -> transform(sequence) -> explode [-> distinct].
+
+    ``dedupe=False`` skips the distinct (one whole shuffle): correct for
+    consumers whose aggregate is duplicate-insensitive (min/max — the
+    MinHash path); REQUIRED True for set-cardinality consumers (Jaccard
+    counts common shingles)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n_sh = F.size(toks) - (n - 1)
     shingles = F.when(
@@ -60,11 +66,11 @@ def shingle_table(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .filter(F.size(F.split(F.col("shingle"), " ")) == n)  # guard short docs
-        .distinct()
     )
+    return out.distinct() if dedupe else out
 
 
 def ngram_jaccard_pairs(
@@ -128,7 +134,8 @@ def minhash_signatures(
     """MinHash signature per doc: h_i = min over shingles of
     md5(f"{i}:" + shingle) (lexicographic min of a keyed hash — a
     min-wise family reproducible across engines). One shuffle."""
-    sh = shingle_table(df, text_col, id_col, n)
+    # duplicate-insensitive aggregate: skip the distinct shuffle
+    sh = shingle_table(df, text_col, id_col, n, dedupe=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)

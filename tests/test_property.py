@@ -106,6 +106,56 @@ def test_extraction_invariant_under_canonicalization(obj, path):
     assert a == b
 
 
+# --- schema-widening laws -----------------------------------------------------
+
+import pytest as _pytest
+from pyspark.sql import types as T
+
+from kafka_connect_converter_json_spark.plans.registry import SchemaConflict, widen_struct
+
+_leaf_types = st.sampled_from(
+    [T.IntegerType(), T.LongType(), T.DoubleType(), T.StringType(), T.BooleanType()]
+)
+_field_names = st.sampled_from(list("abcdef"))
+
+
+@st.composite
+def _structs(draw, depth=2):
+    n = draw(st.integers(1, 4))
+    names = draw(st.lists(_field_names, min_size=n, max_size=n, unique=True))
+    fields = []
+    for nm in names:
+        if depth > 0 and draw(st.booleans()):
+            dt = draw(_structs(depth=depth - 1))
+        else:
+            dt = draw(_leaf_types)
+        fields.append(T.StructField(nm, dt, True))
+    return T.StructType(fields)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_structs())
+def test_widen_idempotent(spark_schemas):
+    a = spark_schemas
+    assert widen_struct(a, a) == T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in a.fields]
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_structs(), _structs())
+def test_widen_absorbing(a, b):
+    """widen(widen(a,b), b) == widen(a,b): re-observing a schema after it
+    was admitted never evolves again (the registry fixpoint law)."""
+    try:
+        ab = widen_struct(a, b)
+    except SchemaConflict:
+        return  # conflicting shapes are rejected consistently
+    assert widen_struct(ab, b) == ab
+    # and the original schema also stays admitted
+    assert widen_struct(ab, a) == ab
+
+
 # --- avro codec round-trip ----------------------------------------------------
 
 AVRO_SCHEMA = {
