@@ -107,17 +107,21 @@ def run_at(
         root=os.path.join(root, "tbl"), epochs=epochs, trials=trials,
     )
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", script],
-            capture_output=True,
-            text=True,
-            timeout=2400,
-            env={**os.environ, "PYTHONPATH": REPO},
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return {**json.loads(line[len("RESULT "):]), "master": master}
-        raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+        last_err = ""
+        for attempt in range(3):  # local-cluster startup is occasionally flaky
+            out = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True,
+                text=True,
+                timeout=2400,
+                env={**os.environ, "PYTHONPATH": REPO},
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    return {**json.loads(line[len("RESULT "):]), "master": master}
+            last_err = f"stderr head: {out.stderr[:1500]}\n...tail: {out.stderr[-1500:]}"
+            time.sleep(5)
+        raise RuntimeError(f"no RESULT line after 3 attempts; {last_err}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
