@@ -47,7 +47,9 @@ class IdentifierRule:
 
 @dataclass
 class ConverterConfig:
-    payload_field_name: str = "payload"
+    # default mirrors the reference: payload.field.name defaults to "event"
+    # (JCC:57, ConfigDef.define(PAYLOAD_FIELD_NAME, STRING, "event", ...))
+    payload_field_name: str = "event"
     input_format: str = "json"
     schema_names: tuple[str, ...] = ()
     # schema name -> {dotted.path -> target column name (pre case-fold)}
@@ -153,7 +155,7 @@ class ConverterConfig:
             else:
                 raise ConfigError(f"unrecognized config key: {k!r}")  # JCC strictness
         return cls(
-            payload_field_name=configs.get("payload.field.name", "payload"),
+            payload_field_name=configs.get("payload.field.name", "event"),  # JCC:57
             input_format=configs.get("input.format", "json"),
             schema_names=names,
             keys=keys,

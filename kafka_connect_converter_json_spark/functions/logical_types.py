@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import uuid as _uuid
-from decimal import Decimal
 
 import pandas as pd
 
@@ -123,9 +122,28 @@ def uuid_to_string(value) -> str:
 
 def decimal_to_string(unscaled_bytes: bytes, scale: int) -> str:
     """Avro ``decimal`` (two's-complement big-endian unscaled bytes + scale)
-    -> BigDecimal.toString() (JC:1238-1262), plain for typical (p,s)."""
+    -> BigDecimal.toString() (JC:1238-1262).
+
+    Built from the unscaled int digits directly — NOT via ``Decimal.scaleb``
+    under the default 28-digit context, which silently rounds >28-sig-digit
+    values (precision 38 is routine in CDC) and flips to scientific
+    notation. Layout mirrors BigDecimal.toString(): plain notation when
+    scale == 0, or scale > 0 with adjusted exponent >= -6; scientific
+    (``dEsign`` with '+' on non-negative exponents) otherwise.
+    """
     unscaled = int.from_bytes(unscaled_bytes, byteorder="big", signed=True)
-    return str(Decimal(unscaled).scaleb(-scale))
+    sign = "-" if unscaled < 0 else ""
+    digits = str(abs(unscaled))
+    if scale == 0:
+        return sign + digits
+    adjusted = (len(digits) - 1) - scale
+    if scale > 0 and adjusted >= -6:  # plain notation
+        if len(digits) > scale:
+            return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+        return f"{sign}0.{'0' * (scale - len(digits))}{digits}"
+    # scientific: one integer digit, then fraction, then E<adjusted>
+    coeff = digits[0] + (f".{digits[1:]}" if len(digits) > 1 else "")
+    return f"{sign}{coeff}E{'+' if adjusted >= 0 else ''}{adjusted}"
 
 
 #: dispatch table keyed by avro logical-type name -> scalar converter.

@@ -25,6 +25,7 @@ DataException behavior.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,8 +36,12 @@ from ..functions.paths import ExtractionError, compile_path
 from .identify import compile_identifier
 
 # executor-local instruction cache: (config_fp, schema_name) -> compiled plan
-# (engine analogue of the reference's LoadingCache, JC:84-93)
-_EXTRACTOR_CACHE: dict[tuple[int, str], list[tuple[str, object]]] = {}
+# (engine analogue of the reference's LoadingCache, JC:84-93). Bounded LRU
+# like the reference's maximumSize(200) (JC:85): an unbounded dict would
+# grow per-executor forever under many distinct (config, schema) pairs.
+CACHE_MAX_SIZE = 200
+
+_EXTRACTOR_CACHE: OrderedDict[tuple[int, str], list[tuple[str, object]]] = OrderedDict()
 
 
 def cache_size() -> int:
@@ -73,6 +78,10 @@ def compile_schema_extractor(
             for old, new in keymap.items()
         ]
         _EXTRACTOR_CACHE[fp] = plan
+        if len(_EXTRACTOR_CACHE) > CACHE_MAX_SIZE:  # evict LRU (JC:85)
+            _EXTRACTOR_CACHE.popitem(last=False)
+    else:
+        _EXTRACTOR_CACHE.move_to_end(fp)  # mark recently used
     return plan
 
 

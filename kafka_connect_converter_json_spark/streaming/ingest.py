@@ -83,6 +83,36 @@ def infer_envelope_schema(spark: SparkSession, events: DataFrame, value_col: str
     return infer_envelope_schema_from_sample(spark, sample[0][0])
 
 
+#: pseudo-random envelopes sampled per epoch for registry observe, in
+#: addition to the first/last-by-LSN rows. More seeds = better coverage of
+#: fields that appear only in a minority of rows (JSON omits null fields).
+OBSERVE_SAMPLE_SEEDS = 6
+
+
+def observe_envelope_samples(
+    batch: DataFrame, value_col: str = "value_json", order_col: str = "lsn",
+    seeds: int = OBSERVE_SAMPLE_SEEDS,
+) -> list[str]:
+    """Distinct envelope samples from one epoch in a SINGLE aggregation job:
+    min/max by ``order_col`` (epoch boundaries — where evolution lands)
+    plus ``seeds`` hash-picked rows (min_by with independent xxhash64 seeds
+    — deterministic pseudo-random spread across the epoch). Cheaper than
+    the two take(1) scans it replaces and far less likely to miss a field
+    present only mid-epoch."""
+    nn = batch.filter(F.col(value_col).isNotNull())
+    aggs = [
+        F.min_by(value_col, order_col).alias("_first"),
+        F.max_by(value_col, order_col).alias("_last"),
+    ] + [
+        F.min_by(value_col, F.xxhash64(F.lit(i), F.col(value_col))).alias(f"_s{i}")
+        for i in range(seeds)
+    ]
+    rows = nn.agg(*aggs).collect()
+    if not rows or rows[0][0] is None:
+        return []
+    return sorted({v for v in rows[0] if v is not None})
+
+
 def _native_key_items(config: ConverterConfig) -> list[tuple[str, str]]:
     """Union of all schemas' key maps as (dotted_path, folded_target_col),
     deterministic order: the JVM analogue of the compiled instruction list
@@ -126,6 +156,7 @@ def convert_events(
     parse_mode: str = "native",
     envelope_schema: T.StructType | None = None,
     include_payload: bool = False,
+    include_raw: bool = False,
 ) -> DataFrame:
     """events(lsn, op, schema_name, value_json, key_json, kafka_*) ->
     typed (repo, path, commit, lang, content, lsn, op, kafka_*).
@@ -145,12 +176,15 @@ def convert_events(
     }
 
     if parse_mode == "reference":
+        passthrough = ("lsn", "op", "key_json", "kafka_partition", "kafka_offset")
+        if include_raw:
+            passthrough += ("value_json",)
         conv = convert_stream(
             events,
             config,
             value_col="value_json",
             schema_col="schema_name",
-            passthrough=("lsn", "op", "key_json", "kafka_partition", "kafka_offset"),
+            passthrough=passthrough,
         )
         sel = []
         for _old, new_col in _native_key_items(config):
@@ -159,6 +193,10 @@ def convert_events(
                 col = F.coalesce(key_from_key_json[new_col], col)
             sel.append(col.alias(new_col))
         tail = [F.col(config.payload_column).alias("payload")] if include_payload else []
+        if include_raw:
+            # raw envelope + key kept for the quarantine side output —
+            # corrupt rows stay inspectable/repairable/replayable (O19)
+            tail += [F.col("value_json"), F.col("key_json")]
         return conv.select(
             *sel, "lsn", "op", "kafka_partition", "kafka_offset", *tail,
             F.col("_error").isNotNull().alias("_corrupt"),
@@ -193,6 +231,11 @@ def convert_events(
             col = _native_path_expr(old_path, envelope_schema)
         sel.append(col.cast("string").alias(new_col))
     tail = [F.to_json(F.col("_env").dropFields("_corrupt_record")).alias("payload")] if include_payload else []
+    if include_raw:
+        # raw envelope + key kept for the quarantine side output — corrupt
+        # rows stay inspectable/repairable/replayable (O19). Catalyst prunes
+        # these from the merge path once they are dropped there.
+        tail += [F.col("value_json"), F.col("key_json")]
     # Without this flag a corrupt UPDATE would LWW-win with null content.
     corrupt = F.col("value_json").isNotNull() & (
         F.col("_env").isNull() | F.col("_env._corrupt_record").isNotNull()
@@ -248,38 +291,35 @@ def ingest(
 
         env_schema = None
         if parse_mode == "native":
-            # registry observe per epoch (N2): sample the first AND last
-            # envelopes of the epoch (two take(1) jobs — cheap next to the
-            # epoch itself), widen additively; the compiled extraction then
-            # reads fields the schema does not yet carry as null
-            for sample in (
-                batch.filter(F.col("value_json").isNotNull()).select("value_json").limit(1),
-                batch.filter(F.col("value_json").isNotNull())
-                .orderBy(F.col("lsn").desc())
-                .select("value_json")
-                .limit(1),
-            ):
-                rows = sample.collect()
-                if rows:
-                    try:
-                        inferred = infer_envelope_schema_from_sample(spark, rows[0][0])
-                    except Exception:  # noqa: BLE001 — corrupt sample: skip
-                        continue
-                    registry.observe("SourceChange", inferred)
+            # registry observe per epoch (N2): widen over SEVERAL sampled
+            # envelopes, not just one — JSON envelopes omit null fields, so
+            # a field present only in some rows must still be observed or
+            # from_json reads it as null. One aggregation job collects the
+            # first/last envelopes by LSN plus hash-picked pseudo-random
+            # rows spread across the epoch (min_by with independent seeds).
+            for s in observe_envelope_samples(batch, "value_json", "lsn"):
+                try:
+                    inferred = infer_envelope_schema_from_sample(spark, s)
+                except Exception:  # noqa: BLE001 — corrupt sample: skip
+                    continue
+                registry.observe("SourceChange", inferred)
             env_schema = registry.get("SourceChange")
             if env_schema is None:
                 raise ValueError("no envelope observed — empty epoch 0 with no registry state")
 
-        typed = convert_events(batch, config, parse_mode, env_schema)
+        typed = convert_events(batch, config, parse_mode, env_schema, include_raw=quarantine)
         if quarantine:
             # bad-record side output (O19): corrupt envelopes never reach
             # the MERGE (a corrupt update must not LWW-win with nulls);
-            # written before the epoch commits so replay re-quarantines
+            # written before the epoch commits so replay re-quarantines.
+            # Carries the raw value_json/key_json so quarantined records
+            # can be inspected, repaired, and replayed.
             bad = typed.filter(F.col("_corrupt")).drop("_corrupt")
             qdir = os.path.join(sink_root, "quarantine", f"e{epoch:06d}")
             if os.path.exists(qdir):
                 shutil.rmtree(qdir)
             bad.write.parquet(qdir)
+            typed = typed.drop("value_json", "key_json")
         typed = typed.filter(~F.col("_corrupt")).drop("_corrupt")
         sink.merge(typed, epoch)
         done += 1

@@ -49,6 +49,32 @@ from ..operators.dedup import lww_latest, lww_latest_salted
 MANIFEST = "_manifest.json"
 
 
+class ManifestWriter:
+    """Atomic manifest commit seam.
+
+    The default implementation commits via ``os.replace`` — atomic on a
+    POSIX filesystem, which is what this sandbox (and HDFS-style rename
+    semantics) provide. It is **not object-store-safe**: S3-style stores
+    have no atomic rename, so a real deployment swaps in a writer backed
+    by a conditional PUT (If-Match / If-None-Match), a DynamoDB-style
+    commit log, or an Iceberg/Hive catalog ``commit`` — exactly the seam
+    Iceberg's ``TableOperations.commit`` occupies. Only this class needs
+    replacing; the sink's epoch/idempotency logic is storage-agnostic.
+    """
+
+    def read(self, path: str) -> dict | None:
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None
+
+    def commit(self, path: str, manifest: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic commit point (POSIX rename)
+
+
 class BucketedMergeSink:
     def __init__(
         self,
@@ -64,6 +90,7 @@ class BucketedMergeSink:
         prune_buckets: bool = True,
         salted_merge: bool = False,
         salt_buckets: int = 32,
+        manifest_writer: ManifestWriter | None = None,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
         #   repartition+persist 13.1s; repartition only 10.5s (default);
@@ -93,6 +120,7 @@ class BucketedMergeSink:
         # default since hash-bucketing already spreads *key-space* skew.
         self.salted_merge = salted_merge
         self.salt_buckets = salt_buckets
+        self._writer = manifest_writer or ManifestWriter()
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
 
@@ -102,10 +130,24 @@ class BucketedMergeSink:
         return os.path.join(self.root, MANIFEST)
 
     def _load_manifest(self) -> dict:
-        p = self._manifest_path()
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+        existing = self._writer.read(self._manifest_path())
+        if existing is not None:
+            # Layout invariants live in the manifest: data on disk was
+            # bucketed by the stored (keys, num_buckets) and ordered by the
+            # stored order_col. A constructor that disagrees would make
+            # _bucket_expr read/rewrite the WRONG buckets — silent row loss
+            # and duplicate keys — so mismatches are a hard error.
+            for attr, key in (("keys", "keys"), ("order_col", "order_col"),
+                              ("num_buckets", "num_buckets")):
+                stored, given = existing[key], getattr(self, attr)
+                if stored != given:
+                    raise ValueError(
+                        f"sink at {self.root!r} was created with {key}={stored!r}; "
+                        f"reopening with {key}={given!r} would corrupt the bucket "
+                        "layout. Pass the original value (it is recorded in "
+                        f"{MANIFEST})."
+                    )
+            return existing
         return {
             "keys": self.keys,
             "order_col": self.order_col,
@@ -115,10 +157,7 @@ class BucketedMergeSink:
         }
 
     def _commit_manifest(self, manifest: dict) -> None:
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path())  # atomic commit point
+        self._writer.commit(self._manifest_path(), manifest)
         self._manifest = manifest
 
     def committed_epochs(self) -> set[int]:

@@ -68,4 +68,19 @@ def test_lowercase_fold():
     cfg = ConverterConfig.from_connect_map(
         {"schema.names": "S", "S.a": "KeyName", "json.S.a": "true", "uppercase": "false"}
     )
-    assert cfg.target_columns() == ["keyname", "payload"]
+    assert cfg.target_columns() == ["keyname", "event"]  # default payload col, JCC:57
+
+
+def test_payload_field_default_is_event():
+    # JCC:57 — payload.field.name defaults to "event"
+    cfg = ConverterConfig(
+        schema_names=("S",),
+        keys={"S": {"k": "k"}},
+        identifiers=(IdentifierRule("S", ("k",), "true"),),
+    )
+    assert cfg.payload_field_name == "event"
+    assert cfg.payload_column == "EVENT"
+    cfg2 = ConverterConfig.from_connect_map(
+        {"schema.names": "S", "S.k": "k", "json.S.k": "true"}
+    )
+    assert cfg2.payload_field_name == "event"

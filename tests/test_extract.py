@@ -119,3 +119,19 @@ def test_convert_stream_fixed_output_schema(spark):
     assert rows[1]["INTKEY"] == "12"
     assert rows[2]["schema_name"] == "SimpleSchemaName"
     assert rows[3]["PAYLOAD"] is None
+
+
+def test_instruction_cache_lru_bounded():
+    # reference caps the instruction cache at 200 (Guava maximumSize, JC:85);
+    # distinct configs beyond the cap evict least-recently-used entries
+    base = dict(
+        payload_field_name="payload",
+        schema_names=("S",),
+        identifiers=(IdentifierRule("S", ("k",), "true"),),
+        uppercase=False,
+    )
+    for i in range(ex.CACHE_MAX_SIZE + 40):
+        cfg = ConverterConfig(keys={"S": {"k": f"col{i}"}}, **base)
+        ex.compile_schema_extractor(cfg, "S")
+        assert ex.cache_size() <= ex.CACHE_MAX_SIZE
+    assert ex.cache_size() == ex.CACHE_MAX_SIZE

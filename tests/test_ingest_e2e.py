@@ -159,3 +159,23 @@ def test_lineage_rows_cover_all_partitions(spark, events, tmp_path):
     assert lin["n_events"].sum() == N_EVENTS
     # offsets are per-partition contiguous ranges of the source stream
     assert (lin["max_offset"] >= lin["min_offset"]).all()
+
+
+def test_sink_rejects_mismatched_layout(spark, tmp_path):
+    """Reopening a sink root with different keys/order_col/num_buckets must
+    raise: _bucket_expr would disagree with how data was bucketed (silent
+    row loss / duplicate keys otherwise). ADVICE r1."""
+    from kafka_connect_converter_json_spark.streaming.sink import BucketedMergeSink
+
+    root = str(tmp_path / "layout")
+    ev = gen_events(spark, 50, n_repos=2, paths_per_repo=2, seed=5)
+    ingest(spark, ev, root, 50, n_epochs=1, num_buckets=8)
+    # same layout reopens fine (resume path)
+    BucketedMergeSink(spark, root, keys=["repo", "path"], order_col="lsn", num_buckets=8)
+    for kwargs in (
+        dict(keys=["repo"], order_col="lsn", num_buckets=8),
+        dict(keys=["repo", "path"], order_col="kafka_offset", num_buckets=8),
+        dict(keys=["repo", "path"], order_col="lsn", num_buckets=16),
+    ):
+        with pytest.raises(ValueError, match="would corrupt the bucket layout"):
+            BucketedMergeSink(spark, root, **kwargs)

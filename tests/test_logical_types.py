@@ -72,3 +72,25 @@ def test_series_convert_vectorized():
     s = pd.Series([0, 1_000, None], dtype=object)
     out = lt.series_convert("timestamp-millis", s)
     assert list(out) == ["1970-01-01T00:00:00Z", "1970-01-01T00:00:01Z", None]
+
+
+def test_decimal_high_precision_no_rounding():
+    # >28 significant digits (precision 38 is routine in CDC) must NOT be
+    # rounded by a default-context Decimal nor flip to scientific notation
+    unscaled = 10**37 + 1  # 38 significant digits
+    b = unscaled.to_bytes(17, "big", signed=True)
+    assert lt.decimal_to_string(b, 2) == "1" + "0" * 35 + ".01"
+    assert lt.decimal_to_string(b, 0) == str(unscaled)
+    neg = (-(10**30 + 7)).to_bytes(14, "big", signed=True)
+    assert lt.decimal_to_string(neg, 5) == "-" + "1" + "0" * 20 + "00000.00007"
+
+
+def test_decimal_bigdecimal_scientific_layout():
+    # BigDecimal.toString() scientific cases: scale<0 or adjusted < -6
+    one = (1).to_bytes(1, "big", signed=True)
+    five = (5).to_bytes(1, "big", signed=True)
+    assert lt.decimal_to_string(one, 10) == "1E-10"       # new BigDecimal(1, 10)
+    assert lt.decimal_to_string(five, -3) == "5E+3"       # negative scale
+    assert lt.decimal_to_string((123).to_bytes(1, "big"), 9) == "1.23E-7"
+    assert lt.decimal_to_string((0).to_bytes(1, "big"), 2) == "0.00"
+    assert lt.decimal_to_string((-1).to_bytes(1, "big", signed=True), 10) == "-1E-10"

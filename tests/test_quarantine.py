@@ -54,3 +54,19 @@ def test_corrupt_winner_excluded_from_state(spark, tmp_path):
     final = sink.read()
     assert final.filter(F.col("lsn") >= 90).count() == 0
     assert final.filter(F.col("content").isNull()).count() == 0
+
+
+def test_quarantine_preserves_raw_envelope(spark, corrupted_events, tmp_path):
+    """Quarantined rows must carry the original value_json/key_json so they
+    can be inspected, repaired, and replayed (ADVICE r1)."""
+    root = str(tmp_path / "tblraw")
+    ingest(spark, corrupted_events, root, N, n_epochs=2, num_buckets=8, quarantine=True)
+    q = spark.read.parquet(root + "/quarantine/*")
+    assert "value_json" in q.columns and "key_json" in q.columns
+    # every quarantined row keeps its raw (corrupt) envelope verbatim
+    assert q.filter(F.col("value_json").isNull()).count() == 0
+    assert q.filter(~F.col("value_json").startswith("{CORRUPT")).count() == 0
+    # ...and the merged table never carries the raw columns
+    sink = ingest(spark, corrupted_events, root, N, n_epochs=2, num_buckets=8,
+                  quarantine=True)
+    assert "value_json" not in sink.read().columns
