@@ -66,15 +66,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_extract_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9/O10/O12: dotted-path key extraction + stringify-cast, JVM fast
-    path (get_json_object) + canonical payload (O15)."""
-    from kafka_connect_converter_json_spark.operators.extract import convert_stream
-    from kafka_connect_converter_json_spark.streaming.ingest import default_config  # noqa: F401
-
+    path (get_json_object) + canonical payload (O15) — real JSON
+    canonicalization via from_json -> to_json against the envelope schema
+    (the native-mode payload mechanism, streaming/ingest.py), matching the
+    oracle's to_json(props::JSON)."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("K"),
-        F.regexp_replace("props", '": ', '":').alias("PAYLOAD"),
+        F.to_json(F.from_json("props", "k bigint")).alias("PAYLOAD"),
     )
 
 
@@ -438,11 +438,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs via inverted-index shingle join."""
+    """n-gram Jaccard near-dup pairs via inverted-index shingle join, with
+    the production df-cut wired in (the oracle applies the identical cut)."""
     from kafka_connect_converter_json_spark.operators.textdedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs_with_dups(spark, sf_dir), n=3, threshold=0.8, max_shingle_freq=None
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.8, max_shingle_freq=1000
+    )
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-cut parity proof: a cut low enough to BIND at sf0.01 (max shingle
+    df there is 7) — verifies the scale configuration, not just the happy
+    path where the cut is vacuous."""
+    from kafka_connect_converter_json_spark.operators.textdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=5
     )
 
 
@@ -456,20 +468,32 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH candidate pairs over the dup-injected corpus."""
+    """Banded MinHash-LSH candidate pairs over the dup-injected corpus,
+    with the band-frequency fan-out cap wired in (oracle applies it too)."""
     from kafka_connect_converter_json_spark.operators.textdedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _docs_with_dups(spark, sf_dir), n=3, num_hashes=6, bands=2
+        _docs_with_dups(spark, sf_dir), n=3, num_hashes=6, bands=2, max_band_freq=1000
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only check: 64-bit bit-majority
-    arithmetic is not portably expressible in the oracle dialect)."""
+    """64-bit SimHash per document. The md5-derived token hash
+    (conv(substr(md5, 1, 16), 16, -10)) is engine-portable, so the DuckDB
+    oracle replicates the full 64-bit bit-majority value exactly."""
     from kafka_connect_converter_json_spark.operators.textdedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 via pigeonhole bands + exact
+    bit_count recheck) over the dup-injected corpus, band fan-out capped."""
+    from kafka_connect_converter_json_spark.operators.textdedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs_with_dups(spark, sf_dir), max_hamming=3, max_band_freq=1000
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,12 +506,40 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (scale path; rows-only check — candidates
-    depend on the hyperplane sketches, deterministic but not SQL)."""
+    """LSH-bucketed ANN top-k (scale path). With dim=64 the hyperplane
+    weights are plan-time md5-derived literals and projections accumulate
+    as exact decimals — fully reproducible by the DuckDB oracle."""
     from kafka_connect_converter_json_spark.operators.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, bits=4, tables=4)
+    return lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, bits=4, tables=4, dim=64
+    )
+
+
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copy (first dim doubled) — deterministic
+    near-duplicate structure both engines construct identically."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.col("embedding")[0] * F.lit(2.0)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return e.unionByName(pert)
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: portable LSH buckets (dim=64
+    literal hyperplanes) + exact cosine re-check at threshold 0.9."""
+    from kafka_connect_converter_json_spark.operators.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(
+        _emb_with_dups(spark, sf_dir), threshold=0.9, bits=4, tables=2,
+        dim=64, max_bucket_freq=1000,
+    )
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +579,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_converter_json_spark.operators.text import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> deterministic media table (text bytes as the opaque
+    payload, kind from doc_id) — same construction both engines run."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode (real plumbing, stubbed codec): dims and
+    features derive from content hashes, so the oracle replicates them."""
+    from kafka_connect_converter_json_spark.operators.multimodal import decode_features
+
+    out = decode_features(_media_from_docs(spark, sf_dir), fake=True)
+    return out.select(
+        "media_id", "kind", "n_bytes", "sha256", "width", "height", "n_frames",
+        F.round(F.element_at("features", 1).cast("double"), 3).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 3).alias("f7"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index."""
+    from kafka_connect_converter_json_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_media_from_docs(spark, sf_dir), every_n=30, fake=True)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,16 +665,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "cosine_pairs": q_cosine_pairs,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -626,6 +714,82 @@ def _shingle_cte(src: str = "documents") -> str:
     """
 
 
+def _jaccard_sql(cut: int | None, threshold: float) -> str:
+    """Inverted-index Jaccard with the engine's df-cut replicated: sizes
+    come from the FULL shingle sets; only the join side is df-cut."""
+    joinable = "sh"
+    cut_cte = ""
+    if cut is not None:
+        cut_cte = f""",
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {cut}),
+            shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle))"""
+        joinable = "shc"
+    return f"""
+        WITH docs AS ({_dup_union_sql()}),
+        {_shingle_cte('docs')}{cut_cte},
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        common AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM {joinable} a JOIN {joinable} b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+               round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
+    """
+
+
+def _simhash_cte(src: str) -> str:
+    """SimHash as CTEs ending in ``sim(id, simhash BIGINT, hu UBIGINT)``.
+    Token hash = first 16 hex of md5 as a 64-bit integer — the identical
+    formula the engine runs via conv(substr(md5(tok),1,16), 16, -10)."""
+    norm = _NORM.format(c="text")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    contrib = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+      stoks AS (SELECT doc_id AS id, unnest(string_split({norm}, ' ')) AS tok FROM {src}),
+      sth AS (SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM stoks),
+      svotes AS (SELECT id, {votes} FROM sth GROUP BY id),
+      sim AS (
+        SELECT id,
+               (({contrib}) - CASE WHEN b63 > 0 THEN 18446744073709551616::HUGEINT
+                                   ELSE 0::HUGEINT END)::BIGINT AS simhash,
+               ({contrib})::UBIGINT AS hu
+        FROM svotes
+      )
+    """
+
+
+def _sketch_select_sql(bits: int, tables: int, dim: int, vec: str = "embedding") -> list[str]:
+    """Per-table LSH sketch columns s0..s{tables-1} — identical hyperplane
+    weights (plan-time md5 literals) and decimal-exact projections as the
+    engine's ``hyperplane_sketch(..., dim=)``."""
+    from kafka_connect_converter_json_spark.operators.similarity import hyperplane_weights
+
+    cols = []
+    for t in range(tables):
+        ws = hyperplane_weights(bits, t, dim)
+        bit_terms = []
+        for h in range(bits):
+            wl = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in ws[h]) + "]"
+            proj = (
+                f"list_sum(list_transform(range(1,{dim + 1}), d -> "
+                f"(CAST({vec}[d] AS DOUBLE) * ({wl})[d])::DECIMAL(28,9)))"
+            )
+            bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END)")
+        cols.append("(" + " + ".join(bit_terms) + f") AS s{t}")
+    return cols
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     lang_score = {
@@ -642,7 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_keys": """
             SELECT event_id,
                    json_extract_string(props, '$.k') AS K,
-                   replace(props, '": ', '":') AS PAYLOAD
+                   to_json(props::JSON)::VARCHAR AS PAYLOAD
             FROM events
         """,
         "convert_full": """
@@ -784,22 +948,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, min(doc_id) AS representative, count(*) AS group_size
             FROM fp GROUP BY fp HAVING count(*) > 1
         """,
-        "ngram_jaccard": f"""
-            WITH docs AS ({_dup_union_sql()}),
-            {_shingle_cte('docs')},
-            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-            common AS (
-              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-              GROUP BY a.id, b.id
-            )
-            SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
-                   round(common / (sa.sz + sb.sz - common), 6) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.id = id_a
-            JOIN sizes sb ON sb.id = id_b
-            WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.8
-        """,
+        "ngram_jaccard": _jaccard_sql(cut=1000, threshold=0.8),
+        "ngram_jaccard_capped": _jaccard_sql(cut=5, threshold=0.5),
         "minhash_signatures": f"""
             WITH {_shingle_cte('documents')}
             SELECT id,
@@ -822,9 +972,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, unnest(['0|' || h0 || '|' || h1 || '|' || h2,
                                  '1|' || h3 || '|' || h4 || '|' || h5]) AS band
               FROM sig
-            )
+            ),
+            rareb AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+            bandedc AS (SELECT banded.* FROM banded JOIN rareb USING (band))
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+            FROM bandedc a JOIN bandedc b ON a.band = b.band AND a.id < b.id
+        """,
+        "simhash": f"""
+            WITH {_simhash_cte('documents')}
+            SELECT id, simhash FROM sim
+        """,
+        "simhash_pairs": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            {_simhash_cte('docs')},
+            sbanded AS (
+              SELECT id, simhash,
+                     unnest([{", ".join(f"'{b}|' || ((hu >> {16 * b}) & 65535)::VARCHAR" for b in range(4))}]) AS band
+              FROM sim
+            ),
+            srare AS (SELECT band FROM sbanded GROUP BY band HAVING count(*) <= 1000),
+            sbandc AS (SELECT sbanded.* FROM sbanded JOIN srare USING (band))
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sbandc a JOIN sbandc b ON a.band = b.band AND a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (
@@ -837,6 +1008,65 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
+        """,
+        "ann_lsh": f"""
+            WITH sk AS (
+              SELECT vec_id, embedding, {", ".join(_sketch_select_sql(4, 4, 64))}
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, embedding,
+                     unnest([{", ".join(f"'{t}:' || s{t}::VARCHAR" for t in range(4))}]) AS bucket
+              FROM sk
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b q JOIN b c USING (bucket)
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(CAST(list_cosine_similarity(qe.embedding, ce.embedding) AS DOUBLE), 4) AS cos
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = query_id
+              JOIN embeddings ce ON ce.vec_id = neighbor_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "cosine_pairs": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_concat([(embedding[1] * 2.0)::FLOAT], embedding[2:64]) AS embedding
+              FROM embeddings WHERE vec_id % 5 = 0
+            ),
+            sk AS (
+              SELECT vec_id, embedding, {", ".join(_sketch_select_sql(4, 2, 64))}
+              FROM emb
+            ),
+            b AS (
+              SELECT vec_id, embedding,
+                     unnest([{", ".join(f"'{t}:' || s{t}::VARCHAR" for t in range(2))}]) AS bucket
+              FROM sk
+            ),
+            braref AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+            bc AS (SELECT b.* FROM b JOIN braref USING (bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM bc a JOIN bc b2 USING (bucket)
+              WHERE a.vec_id < b2.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cos
+            FROM cand
+            JOIN emb ea ON ea.vec_id = id_a
+            JOIN emb eb ON eb.vec_id = id_b
+            WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) >= 0.9
         """,
         "token_count": r"""
             SELECT doc_id,
@@ -889,6 +1119,46 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha
             FROM documents
+        """,
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+                     encode(text) AS payload,
+                     sha256(text) AS sha
+              FROM documents
+            ),
+            h AS (
+              SELECT media_id, kind,
+                     octet_length(payload) AS n_bytes, sha,
+                     ('0x' || rpad(substr(hex(payload), 1, 16), 16, '0'))::UBIGINT AS hv
+              FROM m
+            )
+            SELECT media_id, kind, n_bytes, sha AS sha256,
+                   CASE WHEN kind IN ('image','video')
+                        THEN (16 + hv % 1024)::INT END AS width,
+                   CASE WHEN kind IN ('image','video')
+                        THEN (16 + (hv >> 10) % 1024)::INT END AS height,
+                   CASE WHEN kind = 'image' THEN 1
+                        WHEN kind = 'video' THEN (1 + hv % 300)::INT
+                        ELSE (1 + hv % 1000)::INT END AS n_frames,
+                   round((('0x' || substr(sha, 1, 8))::UBIGINT % 1000) / 1000.0, 3) AS f0,
+                   round((('0x' || substr(sha, 57, 8))::UBIGINT % 1000) / 1000.0, 3) AS f7
+            FROM h
+        """,
+        "frame_sample": """
+            WITH m AS (
+              SELECT doc_id AS media_id, encode(text) AS payload
+              FROM documents WHERE doc_id % 3 = 2
+            ),
+            h AS (
+              SELECT media_id,
+                     ('0x' || rpad(substr(hex(payload), 1, 16), 16, '0'))::UBIGINT AS hv
+              FROM m
+            )
+            SELECT media_id,
+                   unnest(range(0, greatest((1 + hv % 300)::BIGINT - 1, 0) + 1, 30)) AS frame_idx
+            FROM h
         """,
         "embedding_norms": """
             SELECT vec_id, len(embedding) AS dim,

@@ -85,6 +85,8 @@ def decode_features(
     """
     import hashlib
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
@@ -92,28 +94,48 @@ def decode_features(
                     "media codecs unavailable in this environment; "
                     "pass fake=True for the deterministic stub"
                 )
-            rows = []
-            for r in pdf.itertuples():
-                payload = bytes(getattr(r, payload_col) or b"")
-                meta = _fake_decode(payload, r.kind)
-                digest = hashlib.sha256(payload).digest()
-                feats = [
-                    float(int.from_bytes(digest[4 * i : 4 * i + 4], "big") % 1000) / 1000.0
+            # Columnar batch shape: whole-Series C-level maps for the two
+            # content hashes (per-payload by nature — a real codec call
+            # sits exactly here), numpy for everything derived from them.
+            # No per-row Python frames/dicts (the r1 itertuples loop).
+            payloads = pdf[payload_col].map(
+                lambda b: b"" if b is None else bytes(b)
+            )
+            digests = payloads.map(lambda p: hashlib.sha256(p).digest())
+            h = np.fromiter(
+                (int.from_bytes(p[:8].ljust(8, b"\0"), "big") for p in payloads),
+                dtype=np.uint64,
+                count=len(pdf),
+            )
+            kind = pdf["kind"].to_numpy()
+            visual = (kind == "image") | (kind == "video")
+            width = np.where(visual, 16 + h % 1024, 0).astype("float64")
+            height = np.where(visual, 16 + (h >> np.uint64(10)) % 1024, 0).astype("float64")
+            n_frames = np.select(
+                [kind == "image", kind == "video"],
+                [np.ones_like(h, dtype="float64"), (1 + h % 300).astype("float64")],
+                default=(1 + h % 1000).astype("float64"),  # audio: chunks
+            )
+            width[~visual] = np.nan  # audio: no dimensions
+            height[~visual] = np.nan
+            feats = digests.map(
+                lambda d: [
+                    float(int.from_bytes(d[4 * i : 4 * i + 4], "big") % 1000) / 1000.0
                     for i in range(feature_dim)
                 ]
-                rows.append(
-                    {
-                        "media_id": r.media_id,
-                        "kind": r.kind,
-                        "n_bytes": len(payload),
-                        "sha256": digest.hex(),
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_frames": meta["n_frames"],
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kind,
+                    "n_bytes": payloads.map(len).to_numpy(),
+                    "sha256": digests.map(bytes.hex).to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    "features": feats.to_numpy(),
+                }
+            )
 
     # size-class partitioning: keep giant payloads from straggling a task
     bucketed = df.withColumn(

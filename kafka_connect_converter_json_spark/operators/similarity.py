@@ -8,12 +8,18 @@
   replace the window with a per-partition top-k + global top-k merge
   (two-level, implemented below as the default).
 
-- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH. Each
-  vector gets a deterministic sign-bit sketch (hyperplanes derived from
-  xxhash64, not an RNG, so any engine reproduces it); candidates are
-  vectors sharing a bucket with the query in any of ``tables`` sketch
-  tables; exact cosine re-ranks candidates only. Probe cost drops from
-  O(N) to O(N / 2^bits * tables) per query at a small recall cost.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH. The
+  hyperplane sign weights are derived **at plan-build time** from
+  ``md5(f"{table}:{h}:{d}")`` (deterministic, engine-independent — any
+  engine regenerates them offline) and embedded as Column literals, so
+  the hot path is pure arithmetic: zero hash calls per row. Projections
+  accumulate as round(x*w, 9) decimals — exact, order-independent
+  addition, so the sketch bit (sign of the projection) is reproducible
+  bit-for-bit across engines regardless of summation order (a float sum
+  near 0 could flip sign under reassociation). Candidates are vectors
+  sharing a bucket with the query in any of ``tables`` sketch tables;
+  exact cosine re-ranks candidates only. Probe cost drops from O(N) to
+  O(N / 2^bits * tables) per query at a small recall cost.
 
 Embedding-cosine near-dup pairs (the "embedding near-dup" dedup family)
 reuse the same machinery via ``cosine_near_pairs``.
@@ -74,29 +80,73 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplane_sketch(vec, bits: int, table: int = 0):
-    """Deterministic random-hyperplane sign sketch.
+def hyperplane_weights(bits: int, table: int, dim: int) -> list[list[float]]:
+    """Plan-time +/-1 hyperplane weights: w[h][d] = +1 iff the first hex
+    digit of md5(f"{table}:{h}:{d}") is < '8'. Pure public hashlib — any
+    engine (the DuckDB oracle included) regenerates the identical matrix,
+    and the runtime plan carries them as literals (zero per-row hashing)."""
+    import hashlib
 
-    Hyperplane h, dimension d gets a pseudo-random +/-1 weight from
-    xxhash64(table, h, d) — no RNG state, reproducible anywhere. Bit h
-    of the sketch = sign of sum_d(w[h,d] * vec[d]).
-    """
+    return [
+        [
+            1.0 if hashlib.md5(f"{table}:{h}:{d}".encode()).hexdigest()[0] < "8" else -1.0
+            for d in range(dim)
+        ]
+        for h in range(bits)
+    ]
+
+
+def _decimal_projection(vec, weights: list[float]):
+    """sum_d decimal9(vec[d]*w[d]) as exact decimal — order-independent
+    addition, so the sign (the sketch bit) is engine-reproducible. The
+    double->decimal cast rounds the exact binary value to scale 9; with
+    +/-1 weights the product is exactly +/-vec[d], so both engines
+    quantize the identical value."""
+    w = F.array(*[F.lit(x) for x in weights])
+    terms = F.zip_with(
+        vec, w, lambda x, wd: (x.cast("double") * wd).cast("decimal(28,9)")
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,9)"),
+        lambda acc, x: (acc + x).cast("decimal(38,9)"),
+    )
+
+
+def hyperplane_sketch(vec, bits: int, table: int = 0, dim: int | None = None):
+    """Deterministic random-hyperplane sign sketch: bit h of the sketch =
+    sign of sum_d(w[h,d] * vec[d]).
+
+    With ``dim`` (the fixed embedding dimension): plan-time md5-derived
+    literal weights + decimal-exact projections — the portable,
+    oracle-verified form with no per-row hash calls. Without ``dim``
+    (dynamic-width vectors): per-row xxhash64-derived weights and float
+    fold — cheap and Spark-reproducible, but not cross-engine-exact."""
     one = F.lit(1).cast("long")
 
-    def bit(h: int):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(table), F.lit(h), d), F.lit(2)) == 0, 1.0
-                ).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj >= 0, F.shiftleft(one, h)).otherwise(F.lit(0).cast("long"))
+    if dim is not None:
+        ws = hyperplane_weights(bits, table, dim)
+
+        def bit(h: int):
+            return F.when(
+                _decimal_projection(vec, ws[h]) >= 0, F.shiftleft(one, h)
+            ).otherwise(F.lit(0).cast("long"))
+    else:
+
+        def bit(h: int):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, d: x.cast("double")
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(table), F.lit(h), d), F.lit(2)) == 0, 1.0
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(proj >= 0, F.shiftleft(one, h)).otherwise(F.lit(0).cast("long"))
 
     sketch = F.lit(0).cast("long")
     for h in range(bits):
@@ -113,15 +163,21 @@ def lsh_bucket_topk(
     bits: int = 8,
     tables: int = 2,
     round_digits: int = 4,
+    dim: int | None = None,
+    max_bucket_freq: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing an LSH bucket with
-    the query in any table; exact cosine re-rank on candidates only."""
+    the query in any table; exact cosine re-rank on candidates only.
+    ``max_bucket_freq`` drops corpus rows in degenerate hot buckets (a
+    bucket holding f vectors contributes f candidates *per probing query*
+    — the unbounded fan-out at scale); queries always keep their buckets."""
     def sketched(df, idname):
         out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"_{idname}_v"))
         buckets = F.array(
             *[
                 F.concat_ws(
-                    ":", F.lit(str(t)), hyperplane_sketch(F.col(f"_{idname}_v"), bits, t).cast("string")
+                    ":", F.lit(str(t)),
+                    hyperplane_sketch(F.col(f"_{idname}_v"), bits, t, dim=dim).cast("string"),
                 )
                 for t in range(tables)
             ]
@@ -129,6 +185,10 @@ def lsh_bucket_topk(
         return out.withColumn("bucket", F.explode(buckets))
 
     c = sketched(corpus, "neighbor_id")
+    if max_bucket_freq is not None:
+        from .textdedup import band_frequency_cut
+
+        c = band_frequency_cut(c, "bucket", max_bucket_freq)
     q = sketched(queries, "query_id")
     cand = (
         c.join(F.broadcast(q), "bucket")
@@ -153,16 +213,25 @@ def cosine_near_pairs(
     bits: int = 8,
     tables: int = 4,
     round_digits: int = 4,
+    dim: int | None = None,
+    max_bucket_freq: int | None = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets + exact re-check."""
+    """Embedding-cosine near-dup pairs via LSH buckets + exact re-check.
+    ``max_bucket_freq`` caps the f^2/2 self-join fan-out of a degenerate
+    bucket (see ``textdedup.band_frequency_cut``)."""
+    from .textdedup import band_frequency_cut
+
     sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = F.array(
         *[
-            F.concat_ws(":", F.lit(str(t)), hyperplane_sketch(F.col("v"), bits, t).cast("string"))
+            F.concat_ws(
+                ":", F.lit(str(t)), hyperplane_sketch(F.col("v"), bits, t, dim=dim).cast("string")
+            )
             for t in range(tables)
         ]
     )
     banded = sk.withColumn("bucket", F.explode(buckets))
+    banded = band_frequency_cut(banded, "bucket", max_bucket_freq)
     a = banded.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = banded.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (

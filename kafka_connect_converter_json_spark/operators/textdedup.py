@@ -143,6 +143,25 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_frequency_cut(banded: DataFrame, band_col: str, max_band_freq: int | None) -> DataFrame:
+    """df-cut on LSH bands/buckets: drop bands shared by more than
+    ``max_band_freq`` rows BEFORE the self-join. A degenerate band shared
+    by f docs yields f^2/2 candidate pairs — the one unbounded blowup in
+    any banded-LSH join at scale. Dropping a hot band trades a sliver of
+    recall for a hard fan-out bound (the same df-cut ``ngram_jaccard_pairs``
+    applies to shingles); near-dup recall barely moves because true
+    near-dups co-occur in several bands."""
+    if max_band_freq is None:
+        return banded
+    rare = (
+        banded.groupBy(band_col)
+        .agg(F.count(F.lit(1)).alias("_bf"))
+        .filter(F.col("_bf") <= max_band_freq)
+        .select(band_col)
+    )
+    return banded.join(rare, band_col)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -150,10 +169,13 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     r = num_hashes/bands rows; docs sharing any full band are candidates.
-    Matching probability for Jaccard s is 1-(1-s^r)^bands."""
+    Matching probability for Jaccard s is 1-(1-s^r)^bands.
+    ``max_band_freq`` bounds the per-band join fan-out (see
+    ``band_frequency_cut``)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
@@ -162,6 +184,7 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select(F.col("id"), F.explode(F.array(*band_cols)).alias("band"))
+    banded = band_frequency_cut(banded, "band", max_band_freq)
     a = banded.select("band", F.col("id").alias("id_a"))
     b_ = banded.select("band", F.col("id").alias("id_b"))
     return (
@@ -173,16 +196,29 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    token_hash: str = "md5",
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64; bit b of the result is
-    the majority vote of bit b across tokens. One groupBy over exploded
+    """64-bit SimHash per doc: bit b of the result is the majority vote of
+    bit b of the per-token hash across tokens. One groupBy over exploded
     tokens; the 64 conditional sums stay in one whole-stage-codegen'd
-    aggregate."""
+    aggregate.
+
+    ``token_hash="md5"`` (default) derives the 64-bit token hash from the
+    first 16 hex chars of md5 via ``conv(_, 16, -10)`` — reproducible in
+    any engine with md5 (the DuckDB oracle runs the identical formula).
+    ``"xxhash64"`` is the cheaper JVM-intrinsic variant for production
+    runs that don't need cross-engine reproducibility."""
+    if token_hash == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 16), 16, -10).cast("long")
+    elif token_hash == "xxhash64":
+        h = F.xxhash64("tok")
+    else:
+        raise ValueError(f"token_hash must be md5|xxhash64, got {token_hash!r}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
@@ -206,30 +242,37 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int | None = None,
+    token_hash: str = "md5",
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidate generation by band equality; pigeonhole: distance <= bands-1
     guarantees at least one equal band, so ``bands`` defaults to the
     smallest power-of-two divisor of 64 that is >= max_hamming+1 — exact
-    (no missed pairs), then bit_count(xor) re-checks precisely."""
+    (no missed pairs), then bit_count(xor) re-checks precisely.
+    ``max_band_freq`` bounds the per-band fan-out (``band_frequency_cut``);
+    with a cap the result is no longer pigeonhole-exact for keys living
+    only in dropped hot bands — the standard recall/bound tradeoff."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col, token_hash=token_hash)
     width = 64 // bands
+
+    def _band_val(b: int):
+        v = F.shiftrightunsigned(F.col("simhash"), b * width)
+        if width < 64:  # width==64 (bands=1): the full value IS the band
+            v = v.bitwiseAND(F.lit((1 << width) - 1))
+        return v
+
     band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            F.shiftrightunsigned(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("string"),
-        ).alias("band")
+        F.concat_ws("|", F.lit(str(b)), _band_val(b).cast("string")).alias("band")
         for b in range(bands)
     ]
     banded = sig.select("id", "simhash", F.explode(F.array(*band_cols)).alias("band"))
+    banded = band_frequency_cut(banded, "band", max_band_freq)
     a = banded.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b_ = banded.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -124,6 +124,21 @@ class BucketedMergeSink:
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
 
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, **kwargs) -> "BucketedMergeSink":
+        """Open an EXISTING sink adopting the layout recorded in its
+        manifest (keys/order_col/num_buckets) — the Iceberg-style 'table
+        metadata comes from the catalog' path. The constructor, by
+        contrast, validates caller-supplied layout and raises on mismatch."""
+        writer = kwargs.get("manifest_writer") or ManifestWriter()
+        stored = writer.read(os.path.join(root, MANIFEST))
+        if stored is None:
+            raise ValueError(f"no sink manifest at {root!r} — nothing to open")
+        return cls(
+            spark, root, keys=list(stored["keys"]), order_col=stored["order_col"],
+            num_buckets=int(stored["num_buckets"]), **kwargs,
+        )
+
     # ----- manifest ------------------------------------------------------
 
     def _manifest_path(self) -> str:

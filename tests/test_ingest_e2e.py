@@ -179,3 +179,16 @@ def test_sink_rejects_mismatched_layout(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="would corrupt the bucket layout"):
             BucketedMergeSink(spark, root, **kwargs)
+
+
+def test_sink_open_adopts_stored_layout(spark, tmp_path):
+    from kafka_connect_converter_json_spark.streaming.sink import BucketedMergeSink
+
+    root = str(tmp_path / "adopt")
+    ev = gen_events(spark, 50, n_repos=2, paths_per_repo=2, seed=6)
+    ingest(spark, ev, root, 50, n_epochs=1, num_buckets=8)
+    sink = BucketedMergeSink.open(spark, root)
+    assert sink.num_buckets == 8 and sink.keys == ["repo", "path"]
+    assert sink.read().count() > 0
+    with pytest.raises(ValueError, match="nothing to open"):
+        BucketedMergeSink.open(spark, str(tmp_path / "missing"))

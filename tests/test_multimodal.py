@@ -40,3 +40,19 @@ def test_frame_sampling(media):
     frames = mm.frame_sample(media, every_n=30, fake=True).collect()
     assert all(r.frame_idx % 30 == 0 for r in frames)
     assert len(frames) > 0
+
+
+def test_vectorized_fake_matches_scalar_reference(media):
+    """The columnar fake path must agree with the documented per-row
+    _fake_decode reference on every field."""
+    import hashlib
+
+    got = {r.media_id: r for r in mm.decode_features(media, fake=True).collect()}
+    for src in media.collect():
+        payload = bytes(src.payload or b"")
+        want = mm._fake_decode(payload, src.kind)
+        r = got[src.media_id]
+        assert (r.width, r.height, r.n_frames) == (
+            want["width"], want["height"], want["n_frames"])
+        assert r.sha256 == hashlib.sha256(payload).hexdigest()
+        assert r.n_bytes == len(payload)

@@ -74,3 +74,47 @@ def test_cosine_near_pairs_symmetric_ordering(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = sim.cosine_near_pairs(df, threshold=0.9, bits=2, tables=4).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_hyperplane_weights_deterministic_and_balanced():
+    a = sim.hyperplane_weights(4, 0, 64)
+    b = sim.hyperplane_weights(4, 0, 64)
+    assert a == b
+    assert sim.hyperplane_weights(4, 1, 64) != a  # tables differ
+    flat = [x for row in a for x in row]
+    assert set(flat) == {1.0, -1.0}
+    assert 0.3 < flat.count(1.0) / len(flat) < 0.7  # roughly balanced
+
+
+def test_portable_sketch_matches_python_reference(spark, emb):
+    """dim-literal sketch must equal a pure-Python recomputation with the
+    same md5-derived weights and decimal-9 quantization."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rows = emb.limit(20).collect()
+    got = {
+        r.vec_id: r.s
+        for r in emb.limit(20)
+        .select("vec_id", sim.hyperplane_sketch(F.col("embedding"), 4, 1, dim=64).alias("s"))
+        .collect()
+    }
+    ws = sim.hyperplane_weights(4, 1, 64)
+    for r in rows:
+        sk = 0
+        for h in range(4):
+            proj = sum(
+                Decimal(repr(float(x) * w)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+                for x, w in zip(r.embedding, ws[h])
+            )
+            if proj >= 0:
+                sk |= 1 << h
+        assert got[r.vec_id] == sk
+
+
+def test_lsh_topk_portable_recall(spark, emb):
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in sim.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 3), k=5,
+                                           bits=2, tables=6, dim=64).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5

@@ -50,9 +50,7 @@ def test_stream_ingest_matches_batch_replay(spark, source_dir, tmp_path):
         str(tmp_path / "ckpt"),
         num_buckets=8,
     )
-    got = BucketedMergeSink(
-        spark, str(tmp_path / "tbl_stream"), keys=["repo", "path"]
-    ).read()
+    got = BucketedMergeSink.open(spark, str(tmp_path / "tbl_stream")).read()
 
     # batch replay of the same events
     ev = gen_events(spark, N, n_repos=10, paths_per_repo=15, seed=21)
@@ -69,10 +67,10 @@ def test_stream_restart_is_idempotent(spark, source_dir, tmp_path):
     stream_ingest(spark, source_dir + "/*", root, ckpt, num_buckets=8)
     from kafka_connect_converter_json_spark.streaming.sink import BucketedMergeSink
 
-    before = BucketedMergeSink(spark, root, keys=["repo", "path"]).read().count()
+    before = BucketedMergeSink.open(spark, root).read().count()
     # re-run with same checkpoint: no new data -> no change
     stream_ingest(spark, source_dir + "/*", root, ckpt, num_buckets=8)
-    after = BucketedMergeSink(spark, root, keys=["repo", "path"]).read().count()
+    after = BucketedMergeSink.open(spark, root).read().count()
     assert before == after
 
 

@@ -116,3 +116,40 @@ def test_simhash_deterministic(spark, docs):
     a = {r.id: r.simhash for r in td.simhash(docs.limit(50)).collect()}
     b = {r.id: r.simhash for r in td.simhash(docs.limit(50)).collect()}
     assert a == b
+
+
+def test_simhash_md5_token_hash_matches_hashlib(spark):
+    """Portable token hash: conv(substr(md5,1,16),16,-10) must equal the
+    signed int64 of the first 16 md5 hex chars (the oracle's formula)."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    got = td.simhash(df).collect()[0].simhash
+    votes = [0] * 64
+    for tok in ["alpha", "beta"]:
+        u = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for b in range(64):
+            votes[b] += 1 if (u >> b) & 1 else -1
+    expect_u = sum(1 << b for b in range(64) if votes[b] > 0)
+    expect = expect_u - (1 << 64) if expect_u >= (1 << 63) else expect_u
+    assert got == expect
+
+
+def test_band_frequency_cut_bounds_fanout(spark):
+    """A degenerate band shared by many ids must be dropped by the cap."""
+    rows = [(i, "hot") for i in range(50)] + [(100, "cold"), (101, "cold")]
+    banded = spark.createDataFrame(rows, ["id", "band"])
+    kept = td.band_frequency_cut(banded, "band", 10)
+    assert {r.band for r in kept.collect()} == {"cold"}
+    assert td.band_frequency_cut(banded, "band", None).count() == 52
+
+
+def test_simhash_near_pairs_capped_still_finds_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (2, "aa bb cc dd ee ff gg hh"),
+         (3, "totally different words here xyz")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b, r.hamming) for r in
+             td.simhash_near_pairs(df, max_hamming=0, max_band_freq=100).collect()}
+    assert pairs == {(1, 2, 0)}
