@@ -141,6 +141,9 @@ class SchemaRegistry:
     def get(self, name: str) -> T.StructType | None:
         return self._schemas.get(name)
 
+    def items(self) -> list[tuple[str, T.StructType]]:
+        return sorted(self._schemas.items())
+
     def size(self) -> int:
         """Parity with getCacheSize() (JC:503-505)."""
         return len(self._schemas)

@@ -277,6 +277,15 @@ def ingest(
         num_buckets=num_buckets, **sink_kwargs,
     )
 
+    # Restore the registry snapshot committed with the last epoch (N2+N7):
+    # a resume must NOT re-infer from scratch — a field observed only in
+    # already-committed epochs would otherwise be silently dropped from
+    # from_json and read as null after the crash.
+    stored_registry = sink.meta().get("registry")
+    if stored_registry:
+        for name, st in SchemaRegistry.from_json(stored_registry).items():
+            registry.observe(name, st)
+
     per_epoch = max(1, -(-n_events // n_epochs))  # ceil
     done = 0
     committed = sink.committed_epochs()
@@ -321,7 +330,10 @@ def ingest(
             bad.write.parquet(qdir)
             typed = typed.drop("value_json", "key_json")
         typed = typed.filter(~F.col("_corrupt")).drop("_corrupt")
-        sink.merge(typed, epoch)
+        # the registry snapshot commits atomically WITH the epoch, so the
+        # checkpoint always carries the schema state that produced it
+        meta = {"registry": registry.to_json()} if parse_mode == "native" else None
+        sink.merge(typed, epoch, meta=meta)
         done += 1
         if fail_after_epochs is not None and done >= fail_after_epochs:
             raise RuntimeError(f"injected crash after {done} epochs (test hook)")

@@ -183,14 +183,25 @@ class BucketedMergeSink:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets))
 
-    def merge(self, batch: DataFrame, epoch: int, lineage_cols: tuple[str, ...] = ()) -> dict:
+    def meta(self) -> dict:
+        """Engine metadata committed atomically with epochs (e.g. the
+        schema registry snapshot) — the Iceberg snapshot-properties
+        analogue. Survives crash/resume because it rides the manifest."""
+        return dict(self._manifest.get("meta", {}))
+
+    def merge(
+        self, batch: DataFrame, epoch: int, lineage_cols: tuple[str, ...] = (),
+        meta: dict | None = None,
+    ) -> dict:
         """Apply one epoch's CDC events. Idempotent on ``epoch``.
 
         ``batch`` columns: keys + order_col + op_col + payload (+ optional
-        kafka_partition/kafka_offset for lineage).
+        kafka_partition/kafka_offset for lineage). ``meta`` entries are
+        committed into the manifest atomically with the epoch.
         """
         if epoch in self.committed_epochs():
             return {"epoch": epoch, "skipped": True}
+        self._pending_meta = meta
 
         payload_cols = [
             c
@@ -319,6 +330,10 @@ class BucketedMergeSink:
         manifest = dict(self._manifest)
         manifest["buckets"] = buckets_map
         manifest["epochs"] = manifest["epochs"] + [stats]
+        pending = getattr(self, "_pending_meta", None)
+        if pending:
+            manifest["meta"] = {**manifest.get("meta", {}), **pending}
+            self._pending_meta = None
         self._commit_manifest(manifest)
         return stats
 

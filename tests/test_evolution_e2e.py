@@ -103,3 +103,42 @@ def test_evolution_crash_resume(spark, events, tmp_path):
     got = sink.read().select("repo", "path", "content", "branch", "lsn").toPandas()
     exp = _oracle(events.select("lsn", "op", "repo", "path", "value_json").toPandas())
     assert _normalize(got) == _normalize(exp)
+
+
+def test_registry_snapshot_restored_after_crash(spark, tmp_path):
+    """Crash AFTER the epoch that observed a field which later epochs'
+    envelopes no longer carry: the resume must restore the widened schema
+    from the sink manifest (N2+N7), not re-infer from the remaining
+    epochs — and converge byte-identically with an uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    base = gen_events(spark, N, n_repos=15, paths_per_repo=20, seed=13)
+    # 'branch' exists ONLY in epoch-1 envelopes (lsn 500..999 of 4x500)
+    ev = base.withColumn(
+        "value_json",
+        F.when(
+            (F.col("lsn") >= 500) & (F.col("lsn") < 1000) & F.col("value_json").isNotNull(),
+            F.regexp_replace("value_json", r"^\{", '{"branch": "b1", '),
+        ).otherwise(F.col("value_json")),
+    ).cache()
+
+    root = str(tmp_path / "tbl_snap")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest(spark, ev, root, N, n_epochs=4, config=_config(), num_buckets=8,
+               fail_after_epochs=2)  # epochs 0,1 committed; crash before 2
+
+    fresh = SchemaRegistry()  # driver restart: empty registry
+    sink = ingest(spark, ev, root, N, n_epochs=4, config=_config(),
+                  registry=fresh, num_buckets=8)
+    # restored from the manifest even though epochs 2/3 never carry it
+    assert "branch" in fresh.get("SourceChange").fieldNames()
+
+    # byte-identical with an uninterrupted run
+    uroot = str(tmp_path / "tbl_uninterrupted")
+    usink = ingest(spark, ev, uroot, N, n_epochs=4, config=_config(), num_buckets=8)
+    cols = ["repo", "path", "content", "branch", "lsn"]
+    got = sorted(map(tuple, sink.read().select(*cols).collect()))
+    want = sorted(map(tuple, usink.read().select(*cols).collect()))
+    assert got == want
+    # epoch-1 winners keep their branch value through the resume
+    assert any(r[3] == "b1" for r in got)
