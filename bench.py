@@ -105,6 +105,98 @@ def bench_ingest(spark, n_events: int, num_partitions: int) -> dict:
         shutil.rmtree(src_pq, ignore_errors=True)
 
 
+AVRO_EVENTS = int(os.environ.get("SPARK_GRAFT_AVRO_EVENTS", "500000"))
+
+_DOC_SCHEMA = {
+    "type": "record", "name": "Doc",
+    "fields": [
+        {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
+            {"name": "id", "type": "long"}, {"name": "lang", "type": "string"}]}},
+        {"name": "content", "type": "string"},
+    ],
+}
+
+
+def bench_avro(spark, n_events: int) -> dict:
+    """Avro-path decode throughput vs the JSON JVM-native path, same
+    envelope, same outputs (3 keys + canonical payload). Three timings:
+    columnar numpy decoder (the shipped default), per-record interpreter
+    (the r1 baseline), and from_json native (the JSON fast path)."""
+    from kafka_connect_converter_json_spark.config import ConverterConfig
+    from kafka_connect_converter_json_spark.operators.avro_extract import avro_convert_stream
+    from kafka_connect_converter_json_spark.sources import avro_codec as av
+    from pyspark.sql import functions as F
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    src = tempfile.mkdtemp(prefix="bench_avro_", dir=base)
+    try:
+        schema = _DOC_SCHEMA
+        registry = av.LocalSchemaRegistry.of({1: schema})
+
+        def encode_part(batches):
+            import pandas as pd
+            for pdf in batches:
+                ids = pdf["id"]
+                rows = [
+                    av.encode_wire(1, av.encode(schema, {
+                        "meta": {"id": int(i), "lang": "en"},
+                        "content": f"document content number {i} with a bit of text " * 3,
+                    }))
+                    for i in ids
+                ]
+                yield pd.DataFrame({
+                    "value_bytes": rows,
+                    "value_json": [
+                        '{"meta": {"id": %d, "lang": "en"}, "content": "%s"}'
+                        % (i, f"document content number {i} with a bit of text " * 3)
+                        for i in ids
+                    ],
+                })
+
+        # untimed prep: materialize framed avro + equivalent json envelopes
+        spark.range(n_events).repartition(64).mapInPandas(
+            encode_part, schema="value_bytes binary, value_json string"
+        ).write.mode("overwrite").parquet(src)
+        frames = spark.read.parquet(src)
+
+        cfg = ConverterConfig(
+            payload_field_name="payload", input_format="avro", schema_names=("Doc",),
+            keys={"Doc": {"meta.id": "id_str", "meta.lang": "lang", "content": "content"}},
+            identifiers=(), uppercase=False,
+        )
+        out = {}
+        for key, columnar in (("avro_columnar", True), ("avro_interpreter", False)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                avro_convert_stream(
+                    frames.select("value_bytes"), cfg, registry, columnar=columnar,
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            out[f"{key}_events_per_sec"] = round(n_events / best)
+
+        # JSON JVM-native comparison: from_json + extraction + to_json payload
+        jschema = "meta struct<id: bigint, lang: string>, content string"
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            env = frames.select(F.from_json("value_json", jschema).alias("e"))
+            env.select(
+                F.col("e.meta.id").cast("string").alias("id_str"),
+                F.col("e.meta.lang").alias("lang"),
+                F.col("e.content").alias("content"),
+                F.to_json("e").alias("payload"),
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out["json_native_events_per_sec"] = round(n_events / best)
+        out["avro_vs_json_native_ratio"] = round(
+            out["json_native_events_per_sec"] / out["avro_columnar_events_per_sec"], 2
+        )
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -134,6 +226,7 @@ def main() -> None:
         times[name] = round(time_query(qs[name], spark, sf_dir), 3)
 
     ingest_stats = bench_ingest(spark, INGEST_EVENTS, int(cpus) * 2)
+    ingest_stats.update(bench_avro(spark, AVRO_EVENTS))
 
     total = round(sum(times.values()), 3)
     out = {

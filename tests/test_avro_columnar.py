@@ -1,0 +1,136 @@
+"""Columnar Avro decoder: parity with the per-record interpreter across
+the supported schema subset, and fallback behavior outside it."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_connect_converter_json_spark.config import ConverterConfig
+from kafka_connect_converter_json_spark.functions.canonical_json import canonical_dumps
+from kafka_connect_converter_json_spark.operators.avro_extract import avro_convert_batch
+from kafka_connect_converter_json_spark.sources import avro_codec as av
+from kafka_connect_converter_json_spark.sources import avro_columnar as ac
+
+RICH_SCHEMA = {
+    "type": "record",
+    "name": "Rich",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "ratio", "type": "double"},
+        {"name": "small", "type": "float"},
+        {"name": "name", "type": "string"},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "optnum", "type": ["null", "long"]},
+        {"name": "color", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "raw", "type": "bytes"},
+        {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
+            {"name": "born", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        ]}},
+    ],
+}
+
+
+def _rich_values(i: int) -> dict:
+    return {
+        "id": i * 1_000_000_007,           # multi-byte varints
+        "flag": i % 2 == 0,
+        "ratio": i / 7.0,
+        "small": float(np.float32(i / 3.0)),
+        "name": f'doc "{i}"' if i % 5 == 0 else f"doc {i}",  # escapes
+        "opt": None if i % 3 == 0 else f"opt{i}",
+        "optnum": None if i % 4 == 0 else -i,
+        "color": ["RED", "GREEN", "BLUE"][i % 3],
+        "raw": bytes([i % 256, 0, 255]),
+        "meta": {"born": i - 10, "ts": 1700000000000 + i * 1001},
+    }
+
+
+def _bodies(n=64):
+    return [av.encode(RICH_SCHEMA, _rich_values(i)) for i in range(n)]
+
+
+def test_supported_classifier():
+    assert ac.supported(RICH_SCHEMA)
+    assert not ac.supported({"type": "record", "name": "A", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "long"}}]})
+    assert not ac.supported({"type": "record", "name": "A", "fields": [
+        {"name": "m", "type": {"type": "map", "values": "long"}}]})
+    assert not ac.supported({"type": "record", "name": "A", "fields": [
+        {"name": "u", "type": ["null", "string", "long"]}]})  # 3-branch
+
+
+def test_columnar_matches_interpreter_tree():
+    bodies = _bodies()
+    cols, payload = ac.decode_batch_columns(RICH_SCHEMA, bodies)
+    for i, body in enumerate(bodies):
+        tree = av.stringify_logical(RICH_SCHEMA, av.decode(RICH_SCHEMA, body))
+        assert payload[i] == canonical_dumps(tree), f"payload row {i}"
+        assert cols["id"][i] == str(tree["id"])  # key stringify (JC:497,660)
+        assert cols["opt"][i] == tree["opt"]
+        assert cols["optnum"][i] == (
+            None if tree["optnum"] is None else str(tree["optnum"])
+        )
+        assert cols["meta.born"][i] == tree["meta"]["born"]   # "YYYY-MM-DD"
+        assert cols["meta.ts"][i] == tree["meta"]["ts"]       # ISO instant
+        assert cols["raw"][i] == tree["raw"]                   # latin-1 string
+
+
+def test_columnar_round_trip_json():
+    _, payload = ac.decode_batch_columns(RICH_SCHEMA, _bodies(16))
+    for p in payload:
+        obj = json.loads(p)  # valid JSON incl. escapes
+        assert set(obj) == {"id", "flag", "ratio", "small", "name", "opt",
+                            "optnum", "color", "raw", "meta"}
+
+
+def test_columnar_detects_corruption_and_falls_back():
+    bodies = _bodies(8)
+    bodies[3] = bodies[3][:-1]  # truncate one record
+    with pytest.raises(ac.ColumnarUnsupported):
+        ac.decode_batch_columns(RICH_SCHEMA, bodies)
+
+
+def _conv_config():
+    return ConverterConfig(
+        payload_field_name="payload",
+        input_format="avro",
+        schema_names=("Rich",),
+        keys={"Rich": {"id": "id_str", "meta.born": "born", "opt": "opt"}},
+        identifiers=(),
+        uppercase=False,
+    )
+
+
+def test_batch_converter_columnar_equals_interpreter():
+    """avro_convert_batch with/without the columnar path must be
+    byte-identical (payload, keys, errors, tombstones, admission)."""
+    reg = av.LocalSchemaRegistry.of({7: RICH_SCHEMA, 9: {
+        "type": "record", "name": "Undeclared", "fields": [
+            {"name": "x", "type": "long"}]}})
+    frames = [av.encode_wire(7, b) for b in _bodies(20)]
+    frames.append(None)  # tombstone
+    frames.append(av.encode_wire(9, av.encode(reg.schema_for(9), {"x": 1})))
+    pdf = pd.DataFrame({"value_bytes": frames, "lsn": range(len(frames))})
+    cfg = _conv_config()
+    fast = avro_convert_batch(pdf, cfg, reg, passthrough=("lsn",), columnar=True)
+    slow = avro_convert_batch(pdf, cfg, reg, passthrough=("lsn",), columnar=False)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert fast["_error"].iloc[-1].startswith("avro: record name 'Undeclared'")
+    assert fast["payload"].iloc[0] is not None
+    assert fast["payload"].iloc[-2] is None  # tombstone passthrough
+    assert fast["payload"].iloc[-1] is None  # quarantined (admission)
+
+
+def test_batch_converter_falls_back_on_corrupt_frame():
+    reg = av.LocalSchemaRegistry.of({7: RICH_SCHEMA})
+    frames = [av.encode_wire(7, b) for b in _bodies(6)]
+    frames[2] = b"\x01garbage"  # bad magic
+    pdf = pd.DataFrame({"value_bytes": frames})
+    out = avro_convert_batch(pdf, _conv_config(), reg, columnar=True)
+    assert out["_error"].iloc[2] is not None  # quarantined, not crashed
+    assert out["_error"].drop(index=2).isna().all()
