@@ -715,19 +715,26 @@ def _shingle_cte(src: str = "documents") -> str:
 
 
 def _jaccard_sql(cut: int | None, threshold: float) -> str:
-    """Inverted-index Jaccard with the engine's df-cut replicated: sizes
-    come from the FULL shingle sets; only the join side is df-cut."""
-    joinable = "sh"
+    """Inverted-index Jaccard with the engine's formulas replicated:
+    shingles hashed to 60-bit ints from the md5 prefix (8-byte join
+    keys), sizes from the FULL hashed-shingle sets, df-cut only on the
+    join side."""
+    joinable = "shh"
     cut_cte = ""
     if cut is not None:
         cut_cte = f""",
-            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {cut}),
-            shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle))"""
+            rare AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= {cut}),
+            shc AS (SELECT shh.* FROM shh JOIN rare USING (shingle))"""
         joinable = "shc"
     return f"""
         WITH docs AS ({_dup_union_sql()}),
-        {_shingle_cte('docs')}{cut_cte},
-        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        {_shingle_cte('docs')},
+        shh AS (
+          SELECT DISTINCT id,
+                 (('0x' || substr(md5(shingle), 1, 15))::UBIGINT)::BIGINT AS shingle
+          FROM sh
+        ){cut_cte},
+        sizes AS (SELECT id, count(*) AS sz FROM shh GROUP BY id),
         common AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
           FROM {joinable} a JOIN {joinable} b ON a.shingle = b.shingle AND a.id < b.id
@@ -953,9 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": f"""
             WITH {_shingle_cte('documents')}
             SELECT id,
-                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+                   {", ".join(f"min(substr(md5(shingle), {1 + 5 * i}, 5)) AS h{i}" for i in range(6))}
             FROM sh GROUP BY id
         """,
         "minhash_lsh_pairs": f"""
@@ -963,9 +968,7 @@ def oracle_sql() -> dict[str, str]:
             {_shingle_cte('docs')},
             sig AS (
               SELECT id,
-                     min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-                     min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-                     min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+                     {", ".join(f"min(substr(md5(shingle), {1 + 5 * i}, 5)) AS h{i}" for i in range(6))}
               FROM sh GROUP BY id
             ),
             banded AS (

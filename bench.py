@@ -40,6 +40,15 @@ HEADLINE = [
     "quality",
     "fingerprint",
     "embedding_norms",
+    # added in round 2 (all oracled): LSH pair generators with band caps,
+    # portable ANN, multimodal decode plumbing
+    "ngram_jaccard_capped",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_lsh",
+    "cosine_pairs",
+    "multimodal_decode",
+    "frame_sample",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))

@@ -80,14 +80,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
     Inverted-index join: pairs are only generated for docs sharing a
     shingle. ``max_shingle_freq`` is the df-cut that bounds the skew of
     the self-join (a shingle appearing in f docs contributes f^2/2
-    candidate pairs)."""
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    candidate pairs).
+
+    ``hash_shingles`` (default) replaces the shingle string with the
+    60-bit int from its md5 prefix BEFORE the distinct/join shuffles:
+    8-byte fixed-width keys instead of arbitrary-length strings cut the
+    shuffle volume of the dominant self-join severalfold. The formula
+    (conv(substr(md5, 1, 15), 16, 10)) is engine-portable, so oracles
+    replicate it; within-doc collisions (~n_shingles/2^60) would shrink a
+    doc's set size identically in any engine running the same formula."""
+    sh = shingle_table(df, text_col, id_col, n, dedupe=not hash_shingles)
+    if hash_shingles:
+        sh = sh.select(
+            "id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle"),
+        ).distinct()  # distinct AFTER hashing: the shuffle carries 8-byte keys
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     joinable = sh
@@ -130,16 +147,35 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    slice_hashes: bool = True,
 ) -> DataFrame:
-    """MinHash signature per doc: h_i = min over shingles of
-    md5(f"{i}:" + shingle) (lexicographic min of a keyed hash — a
-    min-wise family reproducible across engines). One shuffle."""
+    """MinHash signature per doc, one shuffle.
+
+    ``slice_hashes`` (default): h_i = min over shingles of the i-th
+    fixed-width hex slice of ONE md5(shingle) — one md5 call per
+    (doc, shingle) row instead of ``num_hashes``. Slices of a
+    cryptographic hash are independently uniform, so each slice is a
+    valid min-wise permutation (the standard one-hash-many-slices
+    MinHash trick); requires num_hashes * width <= 32 hex chars.
+    ``slice_hashes=False``: the r1 family, h_i = min(md5(f"{i}:" +
+    shingle)) — keyed md5 per hash. Both are lexicographic mins of
+    fixed-width hex, reproducible in any engine with md5."""
     # duplicate-insensitive aggregate: skip the distinct shuffle
     sh = shingle_table(df, text_col, id_col, n, dedupe=False)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    width = 32 // max(1, num_hashes)
+    if width < 4:
+        slice_hashes = False  # slices would be <16 bits: use keyed md5 per hash
+    if slice_hashes:
+        h = F.md5("shingle")
+        aggs = [
+            F.min(F.substring(h, 1 + i * width, width)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy("id").agg(*aggs)
 
 
