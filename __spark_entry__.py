@@ -537,7 +537,7 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_converter_json_spark.operators.similarity import cosine_near_pairs
 
     return cosine_near_pairs(
-        _emb_with_dups(spark, sf_dir), threshold=0.9, bits=4, tables=2,
+        _emb_with_dups(spark, sf_dir), threshold=0.9, bits=6, tables=2,
         dim=64, max_bucket_freq=1000,
     )
 
@@ -1049,7 +1049,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id % 5 = 0
             ),
             sk AS (
-              SELECT vec_id, embedding, {", ".join(_sketch_select_sql(4, 2, 64))}
+              SELECT vec_id, embedding, {", ".join(_sketch_select_sql(6, 2, 64))}
               FROM emb
             ),
             b AS (

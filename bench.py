@@ -114,7 +114,7 @@ def bench_ingest(spark, n_events: int, num_partitions: int) -> dict:
         shutil.rmtree(src_pq, ignore_errors=True)
 
 
-AVRO_EVENTS = int(os.environ.get("SPARK_GRAFT_AVRO_EVENTS", "500000"))
+AVRO_EVENTS = int(os.environ.get("SPARK_GRAFT_AVRO_EVENTS", "1000000"))
 
 _DOC_SCHEMA = {
     "type": "record", "name": "Doc",
@@ -163,10 +163,14 @@ def bench_avro(spark, n_events: int) -> dict:
                 })
 
         # untimed prep: materialize framed avro + equivalent json envelopes
-        spark.range(n_events).repartition(64).mapInPandas(
+        cpus = spark.sparkContext.defaultParallelism
+        spark.range(n_events).repartition(cpus).mapInPandas(
             encode_part, schema="value_bytes binary, value_json string"
         ).write.mode("overwrite").parquet(src)
         frames = spark.read.parquet(src)
+        # columnar decode amortizes per Arrow batch: feed it full batches
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
 
         cfg = ConverterConfig(
             payload_field_name="payload", input_format="avro", schema_names=("Doc",),

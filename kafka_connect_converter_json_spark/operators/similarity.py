@@ -172,17 +172,21 @@ def lsh_bucket_topk(
     bucket holding f vectors contributes f candidates *per probing query*
     — the unbounded fan-out at scale); queries always keep their buckets."""
     def sketched(df, idname):
-        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"_{idname}_v"))
+        # ids + buckets ONLY: the 64-float vectors never enter the bucket
+        # join or the distinct shuffle — they are joined back per distinct
+        # candidate pair, which is strictly less data movement
         buckets = F.array(
             *[
                 F.concat_ws(
                     ":", F.lit(str(t)),
-                    hyperplane_sketch(F.col(f"_{idname}_v"), bits, t, dim=dim).cast("string"),
+                    hyperplane_sketch(F.col(vec_col), bits, t, dim=dim).cast("string"),
                 )
                 for t in range(tables)
             ]
         )
-        return out.withColumn("bucket", F.explode(buckets))
+        return df.select(
+            F.col(id_col).alias(idname), F.explode(buckets).alias("bucket")
+        )
 
     c = sketched(corpus, "neighbor_id")
     if max_bucket_freq is not None:
@@ -193,13 +197,19 @@ def lsh_bucket_topk(
     cand = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), round_digits).alias("cos"),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -221,24 +231,32 @@ def cosine_near_pairs(
     bucket (see ``textdedup.band_frequency_cut``)."""
     from .textdedup import band_frequency_cut
 
-    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = F.array(
         *[
             F.concat_ws(
-                ":", F.lit(str(t)), hyperplane_sketch(F.col("v"), bits, t, dim=dim).cast("string")
+                ":", F.lit(str(t)),
+                hyperplane_sketch(F.col(vec_col), bits, t, dim=dim).cast("string"),
             )
             for t in range(tables)
         ]
     )
-    banded = sk.withColumn("bucket", F.explode(buckets))
+    # ids + buckets only through the self-join and distinct (see
+    # lsh_bucket_topk); vectors join back per distinct candidate pair
+    banded = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bucket"))
     banded = band_frequency_cut(banded, "bucket", max_bucket_freq)
-    a = banded.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = banded.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    a = banded.select("bucket", F.col("id").alias("id_a"))
+    b = banded.select("bucket", F.col("id").alias("id_b"))
+    cand = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

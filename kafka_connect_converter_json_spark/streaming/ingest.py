@@ -86,7 +86,7 @@ def infer_envelope_schema(spark: SparkSession, events: DataFrame, value_col: str
 #: pseudo-random envelopes sampled per epoch for registry observe, in
 #: addition to the first/last-by-LSN rows. More seeds = better coverage of
 #: fields that appear only in a minority of rows (JSON omits null fields).
-OBSERVE_SAMPLE_SEEDS = 6
+OBSERVE_SAMPLE_SEEDS = 4
 
 
 def observe_envelope_samples(
@@ -95,16 +95,17 @@ def observe_envelope_samples(
 ) -> list[str]:
     """Distinct envelope samples from one epoch in a SINGLE aggregation job:
     min/max by ``order_col`` (epoch boundaries — where evolution lands)
-    plus ``seeds`` hash-picked rows (min_by with independent xxhash64 seeds
-    — deterministic pseudo-random spread across the epoch). Cheaper than
-    the two take(1) scans it replaces and far less likely to miss a field
-    present only mid-epoch."""
+    plus ``seeds`` hash-picked rows (min_by keyed by xxhash64(seed,
+    order_col) — deterministic pseudo-random spread across the epoch).
+    Hashing the 8-byte order column, NOT the envelope string, keeps the
+    per-row cost of the scan trivial; one aggregation replaces the two
+    take(1)/TakeOrdered jobs of r1 and covers mid-epoch-only fields."""
     nn = batch.filter(F.col(value_col).isNotNull())
     aggs = [
         F.min_by(value_col, order_col).alias("_first"),
         F.max_by(value_col, order_col).alias("_last"),
     ] + [
-        F.min_by(value_col, F.xxhash64(F.lit(i), F.col(value_col))).alias(f"_s{i}")
+        F.min_by(value_col, F.xxhash64(F.lit(i), F.col(order_col))).alias(f"_s{i}")
         for i in range(seeds)
     ]
     rows = nn.agg(*aggs).collect()

@@ -93,6 +93,23 @@ def main() -> None:
         ["codegen id"],
     ))
 
+    # 5. ANN LSH: query side broadcast; vectors re-joined AFTER the
+    # distinct (the candidate distinct must shuffle ids+buckets only)
+    plan5 = formatted(em.q_ann_lsh(spark, sf_dir))
+    sections.append((
+        "ANN LSH bucket join (broadcast query side)",
+        plan5,
+        ["BroadcastHashJoin"],
+    ))
+
+    # 6. cosine near-pairs: the pair-distinct exchange carries no vectors
+    plan6 = formatted(em.q_cosine_pairs(spark, sf_dir))
+    sections.append((
+        "Embedding near-dup pairs (id-only distinct, vectors joined back)",
+        plan6,
+        ["Exchange"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -103,6 +120,18 @@ def main() -> None:
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
     )
     checks.append(("Native ingest parse path", "no Python eval nodes", no_python))
+    pair_exchanges = [
+        ln for ln in plan6.splitlines()
+        if "hashpartitioning(id_a" in ln  # formatted mode: Arguments: line
+    ]
+    no_vec_in_distinct = bool(pair_exchanges) and all(
+        "va#" not in ln and "vb#" not in ln and "embedding#" not in ln
+        for ln in pair_exchanges
+    )
+    checks.append((
+        "Embedding near-dup pairs", "pair-distinct exchange carries no vectors",
+        no_vec_in_distinct,
+    ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n\n")
