@@ -134,3 +134,80 @@ def test_batch_converter_falls_back_on_corrupt_frame():
     out = avro_convert_batch(pdf, _conv_config(), reg, columnar=True)
     assert out["_error"].iloc[2] is not None  # quarantined, not crashed
     assert out["_error"].drop(index=2).isna().all()
+
+
+# ---------------------------------------------------------------------------
+# property: random supported schemas + random values == interpreter
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_leaf_types = st.sampled_from(
+    ["long", "int", "string", "boolean", "double", "float", "bytes"]
+)
+
+
+@st.composite
+def _schemas(draw, depth=0):
+    n_fields = draw(st.integers(min_value=1, max_value=4))
+    fields = []
+    for i in range(n_fields):
+        if depth < 2 and draw(st.booleans()) and i == 0:
+            ftype = draw(_schemas(depth=depth + 1))
+        else:
+            t = draw(_leaf_types)
+            if draw(st.booleans()):
+                ftype = ["null", t]
+            else:
+                ftype = t
+        fields.append({"name": f"f{depth}_{i}", "type": ftype})
+    return {"type": "record", "name": f"R{depth}", "fields": fields}
+
+
+def _value_for(schema, draw):
+    if isinstance(schema, list):
+        t = next(b for b in schema if b != "null")
+        if draw(st.booleans()):
+            return None
+        return _value_for(t, draw)
+    if isinstance(schema, dict):
+        return {f["name"]: _value_for(f["type"], draw) for f in schema["fields"]}
+    return draw({
+        "long": st.integers(min_value=-(2**62), max_value=2**62),
+        "int": st.integers(min_value=-(2**30), max_value=2**30),
+        "string": st.text(max_size=24),
+        "boolean": st.booleans(),
+        "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "float": st.floats(allow_nan=False, allow_infinity=False, width=32),
+        "bytes": st.binary(max_size=12),
+    }[schema])
+
+
+@st.composite
+def _schema_and_rows(draw):
+    schema = draw(_schemas())
+    rows = [_value_for(schema, draw) for _ in range(draw(st.integers(1, 8)))]
+    return schema, rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schema_and_rows())
+def test_property_columnar_equals_interpreter(case):
+    schema, rows = case
+    bodies = [av.encode(schema, r) for r in rows]
+    cols, payload = ac.decode_batch_columns(schema, bodies)
+    from kafka_connect_converter_json_spark.functions.paths import (
+        compile_path, json_stringify_scalar,  # noqa: F401
+    )
+
+    for i, body in enumerate(bodies):
+        tree = av.stringify_logical(schema, av.decode(schema, body))
+        assert payload[i] == canonical_dumps(tree)
+        for dotted, col in cols.items():
+            cur = tree
+            for seg in dotted.split("."):
+                cur = None if cur is None else cur.get(seg)
+            expect = None if cur is None else (
+                cur if isinstance(cur, str) else json_stringify_scalar(cur)
+            )
+            assert col[i] == expect, (dotted, i)

@@ -77,7 +77,10 @@ per = n // epochs
 events = spark.read.parquet(src_pq)  # schema incl. seg partition column
 epoch_src = lambda lo, hi: spark.read.parquet(src_pq + f"/seg={{lo // per}}").drop("seg")
 # warm the JVM/codegen once on a small prefix so we measure steady state
-ingest(spark, events.limit(10000).drop("seg"), root + "_warm", 10000, n_epochs=1, num_buckets=16)
+# (filter by lsn, NOT limit: limit picks arbitrary rows, which can miss
+# the warm epoch's [0, 10000) lsn range entirely -> empty observe)
+ingest(spark, events.filter(F.col("lsn") < 10000).drop("seg"), root + "_warm",
+       10000, n_epochs=1, num_buckets=16)
 times = []
 for trial in range({trials}):
     shutil.rmtree(root, ignore_errors=True)
