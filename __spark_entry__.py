@@ -624,6 +624,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (the coarse-quantizer scale path): codebook =
+    8 hash-sampled corpus vectors, nprobe=3, exact cosine re-rank within
+    probed cells. Every step (md5-ordered codebook, 6dp-rounded L2
+    assignment, probe ranking) is engine-portable; the oracle rebuilds
+    the identical index in SQL."""
+    from kafka_connect_converter_json_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3
+    )
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column."""
+    from kafka_connect_converter_json_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector plumbing: dimension + L2 norm (rounded) per embedding."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -680,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "ann_ivf": q_ann_ivf,
+        "quantize_int8": q_quantize_int8,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -1162,6 +1185,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(0, greatest((1 + hv % 300)::BIGINT - 1, 0) + 1, 30)) AS frame_idx
             FROM h
+        """,
+        "ann_ivf": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+                     embedding AS cv
+              FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+            ),
+            cd AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_sum(list_transform(range(1, 65), d ->
+                       (CAST(e.embedding[d] AS DOUBLE) - CAST(c.cv[d] AS DOUBLE))
+                       * (CAST(e.embedding[d] AS DOUBLE) - CAST(c.cv[d] AS DOUBLE)))), 6) AS dist
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            cells AS (
+              SELECT vec_id AS neighbor_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM cd
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM cd WHERE vec_id < 5
+              ) WHERE rn <= 3
+            ),
+            cand AS (
+              SELECT query_id, neighbor_id
+              FROM probes JOIN cells USING (cell)
+              WHERE neighbor_id <> query_id
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(CAST(list_cosine_similarity(qe.embedding, ce.embedding) AS DOUBLE), 4) AS cos
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = query_id
+              JOIN embeddings ce ON ce.vec_id = neighbor_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "quantize_int8": """
+            WITH a AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   round(absmax / 127.0, 9) AS scale,
+                   CASE WHEN absmax = 0
+                        THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(embedding, x ->
+                             greatest(-127, least(127,
+                               round(CAST(x AS DOUBLE) / (absmax / 127.0), 0)::INT)))
+                   END AS q
+            FROM a
         """,
         "embedding_norms": """
             SELECT vec_id, len(embedding) AS dim,

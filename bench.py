@@ -49,6 +49,8 @@ HEADLINE = [
     "cosine_pairs",
     "multimodal_decode",
     "frame_sample",
+    "ann_ivf",
+    "quantize_int8",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))

@@ -215,6 +215,139 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF codebook: the ``n_centroids`` corpus vectors
+    with the smallest md5(id) (hash-random sample, ordered by the hash).
+    A Lloyd refinement would move the cells, but ANY fixed codebook is a
+    valid IVF-flat index — the hash rule makes it reproducible in every
+    engine with md5, with no RNG/iteration state. Driver-side collect of
+    n rows (IVF training is always a separate tiny phase)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r._v] for r in rows]
+
+
+def _sq_dist(vec, centroid: list[float]):
+    """Rounded squared L2 distance to a literal centroid. The 6dp round
+    absorbs float-summation noise so argmin/rank ties break identically
+    across engines."""
+    c = F.array(*[F.lit(x) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN top-k: corpus vectors are assigned to their nearest
+    codebook cell (one pure projection — the cell id would be a partition
+    column at 100 TB, giving cell-pruned scans); each query probes its
+    ``nprobe`` nearest cells and exact cosine re-ranks only those cells'
+    vectors. Probe cost ~ nprobe/n_centroids of the corpus per query.
+    Candidate generation moves ids only; vectors join back per candidate."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+
+    def dist_array(vec):
+        return F.array(*[_sq_dist(vec, c) for c in cents])
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        (F.array_position(
+            dist_array(F.col(vec_col)), F.array_min(dist_array(F.col(vec_col)))
+        ) - 1).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                            lambda i: F.struct(
+                                F.element_at(dist_array(F.col(vec_col)), i + 1).alias("d"),
+                                i.alias("i"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding-compression
+    step of a training-data pipeline (4x smaller vectors, ~1% cosine
+    error at dim 64): scale = max|x|/127, q_d = clamp(round(x_d/scale)).
+    Pure JVM projection, no shuffle; engine-portable arithmetic (double
+    division + HALF_UP rounding match any SQL engine's round())."""
+    x = F.col(vec_col)
+    absmax = F.aggregate(
+        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(v.cast("double") / scale, 0).cast("int")),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("q"),
+    )
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,

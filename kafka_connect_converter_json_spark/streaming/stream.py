@@ -87,6 +87,39 @@ def stream_ingest(
     return writer.start()
 
 
+def windowed_event_counts(
+    typed_stream: DataFrame,
+    time_col: str = "event_time",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    group_col: str | None = "repo",
+):
+    """Watermarked tumbling-window aggregation over the event stream —
+    the standard Structured Streaming late-data pattern: events later
+    than ``watermark_delay`` past the max observed ``time_col`` are
+    dropped and their windows finalize (state is bounded by
+    |open windows x groups|, the requirement at 10^10-event scale).
+
+    Output per (window, group): event count, update count (op != 'd'),
+    delete count, max LSN — the per-window lineage a monitoring sink
+    consumes. Works on a streaming OR batch DataFrame (Spark gives the
+    identical semantics minus the incremental state)."""
+    from pyspark.sql import functions as F
+
+    src = typed_stream
+    if src.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    keys = [F.window(time_col, window_duration).alias("window")]
+    if group_col is not None:
+        keys.append(F.col(group_col))
+    return src.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("op") != "d", 1).otherwise(0)).alias("n_upserts"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: cross-batch LWW changelog
 # ---------------------------------------------------------------------------

@@ -118,3 +118,30 @@ def test_lsh_topk_portable_recall(spark, emb):
               for r in sim.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 3), k=5,
                                            bits=2, tables=6, dim=64).collect()}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, qs, k=5).collect()}
+    a = sim.ivf_topk(emb, qs, k=5, n_centroids=4, nprobe=2).collect()
+    b = sim.ivf_topk(emb, qs, k=5, n_centroids=4, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    approx = {(r.query_id, r.neighbor_id) for r in a}
+    assert len(approx & exact) / len(exact) >= 0.3  # nprobe=2 of 4 cells
+    # probing ALL cells must recover the exact result
+    full = {(r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(emb, qs, k=5, n_centroids=4, nprobe=4).collect()}
+    assert full == exact
+
+
+def test_quantize_int8_roundtrip_error(spark, emb):
+    rows = sim.quantize_int8(emb.limit(30)).collect()
+    vecs = {r.vec_id: r.embedding for r in emb.limit(30).collect()}
+    for r in rows:
+        v = vecs[r.vec_id]
+        assert len(r.q) == len(v)
+        assert max(abs(x) for x in r.q) == 127  # scale hits the max component
+        # dequantized error bounded by scale/2 per component
+        for x, qx in zip(v, r.q):
+            assert abs(float(x) - qx * r.scale) <= r.scale / 2 + 1e-9

@@ -102,3 +102,69 @@ def test_stateful_lww_changelog(spark, source_dir, tmp_path):
     # per key, the emitted lsn never decreases across emissions
     for _, grp in res.groupby(["repo", "path"]):
         assert grp["lsn"].is_monotonic_increasing or len(grp) == 1
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Watermarked tumbling windows over a drained stream: per-window
+    counts match the batch computation on the same (in-order) data, and a
+    too-late event (beyond the watermark in a later file) is dropped from
+    streaming output while batch mode still counts it."""
+    from pyspark.sql import functions as F
+    from kafka_connect_converter_json_spark.streaming.stream import windowed_event_counts
+
+    src = tmp_path / "wsrc"
+    schema = "lsn long, op string, repo string, event_time timestamp"
+    base = spark.range(600).select(
+        F.col("id").alias("lsn"),
+        F.when(F.col("id") % 7 == 0, "d").otherwise("u").alias("op"),
+        F.concat(F.lit("r"), (F.col("id") % 3).cast("string")).alias("repo"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("event_time"),
+    )
+    base.filter("lsn < 300").write.parquet(str(src / "p0"))
+    # second file: fresh events at minutes 5-10 plus ONE very-late event
+    # (minute 0 again — more than 2 min behind the new max -> dropped)
+    late = base.filter("lsn >= 300").withColumn(
+        "event_time", F.col("event_time") + F.make_interval(mins=F.lit(5))
+    ).unionByName(
+        base.filter("lsn = 10").withColumn("lsn", F.lit(9999).cast("long"))
+    )
+    late.write.parquet(str(src / "p1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"  # p0 and p1 land as separate micro-batches
+    ).parquet(str(src / "*"))
+    out_dir, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+    q = (
+        windowed_event_counts(stream, window_duration="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+
+    # append mode emits only watermark-finalized windows; compare against
+    # the batch computation restricted to those windows
+    batch_all = windowed_event_counts(
+        spark.read.schema(schema).parquet(str(src / "*")), window_duration="1 minute"
+    )
+    finalized = {(r.window.start, r.repo) for r in got.collect()}
+    exp = {
+        (r.window.start, r.repo): (r.n_events, r.n_upserts, r.n_deletes, r.max_lsn)
+        for r in batch_all.collect()
+    }
+    assert len(finalized) > 0
+    for r in got.collect():
+        key = (r.window.start, r.repo)
+        e = exp[key]
+        if r.max_lsn == 9999 or e[3] == 9999:
+            continue  # the late-event window: counted in batch, see below
+        assert (r.n_events, r.n_upserts, r.n_deletes, r.max_lsn) == e, key
+    # the too-late duplicate (lsn 9999, minute 0) was dropped by the
+    # watermark: no streaming window row carries it, the batch rows do
+    assert got.filter(F.col("max_lsn") == 9999).count() == 0
+    assert batch_all.filter(F.col("max_lsn") == 9999).count() == 1
