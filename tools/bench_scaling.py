@@ -179,7 +179,15 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(result, indent=2))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve other tools' sections (scale-up point, headline summary)
+    bench_path = os.path.join(REPO, "BENCH.md")
+    extra = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            extra = old[cut:]
+    with open(bench_path, "w") as f:
         f.write(
             f"""# BENCH — scaling-efficiency evidence (N vs 4N executors)
 
@@ -214,6 +222,7 @@ copy-on-write MERGE rewrites of touched buckets each epoch. Reproduce:
 _CORES_PER_WORKER / _EVENTS / _EPOCHS). ``bench.py`` reports the
 per-query headline suite.
 """
+            + extra
         )
 
 
