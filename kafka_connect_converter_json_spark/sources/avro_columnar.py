@@ -170,6 +170,13 @@ def _gather_strings(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) ->
     arr = pa.StringArray.from_buffers(
         len(lengths), pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
     )
+    try:
+        # from_buffers does NOT validate: invalid UTF-8 must fall back to
+        # the interpreter (whose .decode() raises -> quarantine), not
+        # silently produce a corrupt string
+        arr.validate(full=True)
+    except pa.lib.ArrowInvalid as e:
+        raise ColumnarUnsupported(f"non-UTF-8 string payload: {e}") from e
     return np.asarray(arr.to_pandas(), dtype=object)
 
 

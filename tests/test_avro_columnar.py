@@ -211,3 +211,25 @@ def test_property_columnar_equals_interpreter(case):
                 cur if isinstance(cur, str) else json_stringify_scalar(cur)
             )
             assert col[i] == expect, (dotted, i)
+
+
+def test_invalid_utf8_falls_back_to_interpreter_quarantine():
+    """A record whose string bytes are valid varint-framed but invalid
+    UTF-8 must quarantine exactly like the interpreter, not produce a
+    silently corrupt string."""
+    schema = {"type": "record", "name": "S",
+              "fields": [{"name": "s", "type": "string"}]}
+    good = av.encode(schema, {"s": "ok"})
+    bad = b"\x06\xff\xfe\xfd"  # length 3, invalid utf-8 bytes
+    with pytest.raises(ac.ColumnarUnsupported, match="non-UTF-8"):
+        ac.decode_batch_columns(schema, [good, bad])
+    reg = av.LocalSchemaRegistry.of({3: schema})
+    frames = [av.encode_wire(3, good), av.encode_wire(3, bad)]
+    cfg = ConverterConfig(
+        payload_field_name="payload", input_format="avro", schema_names=("S",),
+        keys={"S": {"s": "s_out"}}, identifiers=(), uppercase=False,
+    )
+    out = avro_convert_batch(pd.DataFrame({"value_bytes": frames}), cfg, reg,
+                             columnar=True)
+    assert out["_error"].iloc[0] is None and out["s_out"].iloc[0] == "ok"
+    assert out["_error"].iloc[1] is not None  # quarantined, parity with interpreter
