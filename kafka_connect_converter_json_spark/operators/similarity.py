@@ -272,11 +272,18 @@ def ivf_topk(
     def dist_array(vec):
         return F.array(*[_sq_dist(vec, c) for c in cents])
 
-    cells = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        (F.array_position(
-            dist_array(F.col(vec_col)), F.array_min(dist_array(F.col(vec_col)))
-        ) - 1).alias("cell"),
+    # materialize the K-distance array once per row (a second reference
+    # would recompute the whole K x dim expression — no CSE across
+    # projections), then argmin with first-min tiebreak
+    cells = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            dist_array(F.col(vec_col)).alias("_d"),
+        )
+        .select(
+            "neighbor_id",
+            (F.array_position(F.col("_d"), F.array_min("_d")) - 1).alias("cell"),
+        )
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
