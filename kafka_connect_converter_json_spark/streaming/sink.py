@@ -49,6 +49,13 @@ from ..operators.dedup import lww_latest, lww_latest_salted
 MANIFEST = "_manifest.json"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed to this sink since we loaded its manifest
+    — the optimistic-concurrency conflict a real Iceberg commit surfaces.
+    Recovery: construct a fresh sink (reload the manifest) and retry; the
+    epoch-idempotency check makes the retry safe."""
+
+
 class ManifestWriter:
     """Atomic manifest commit seam.
 
@@ -172,6 +179,18 @@ class BucketedMergeSink:
         }
 
     def _commit_manifest(self, manifest: dict) -> None:
+        # Optimistic concurrency (Iceberg commit-conflict analogue): the
+        # manifest on storage must still be the one this writer based its
+        # merge on. A true atomic CAS needs the storage layer (see
+        # ManifestWriter); this detect-and-raise closes the practical
+        # lost-update window of two drivers pointed at one sink root.
+        current = self._writer.read(self._manifest_path())
+        if current is not None and current != self._manifest:
+            raise ConcurrentCommitError(
+                f"sink at {self.root!r} changed since load "
+                f"({len(current.get('epochs', []))} committed epochs on storage vs "
+                f"{len(self._manifest.get('epochs', []))} seen); reload and retry"
+            )
         self._writer.commit(self._manifest_path(), manifest)
         self._manifest = manifest
 

@@ -192,3 +192,34 @@ def test_sink_open_adopts_stored_layout(spark, tmp_path):
     assert sink.read().count() > 0
     with pytest.raises(ValueError, match="nothing to open"):
         BucketedMergeSink.open(spark, str(tmp_path / "missing"))
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two writers on one sink root: the second's commit must surface the
+    conflict (optimistic concurrency), and a reload+retry converges via
+    epoch idempotency."""
+    from kafka_connect_converter_json_spark.streaming.ingest import convert_events
+    from kafka_connect_converter_json_spark.streaming.sink import (
+        BucketedMergeSink,
+        ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "concurrent")
+    ev = gen_events(spark, 200, n_repos=4, paths_per_repo=4, seed=3)
+    from kafka_connect_converter_json_spark.streaming.ingest import (
+        default_config, infer_envelope_schema,
+    )
+    schema = infer_envelope_schema(spark, ev, "value_json")
+    typed = convert_events(ev, default_config(), "native", schema)
+    typed = typed.filter(~typed["_corrupt"]).drop("_corrupt")
+
+    a = BucketedMergeSink(spark, root, keys=["repo", "path"], num_buckets=4)
+    b = BucketedMergeSink(spark, root, keys=["repo", "path"], num_buckets=4)
+    a.merge(typed.filter("lsn < 100"), epoch=0)
+    with pytest.raises(ConcurrentCommitError, match="reload and retry"):
+        b.merge(typed.filter("lsn >= 100"), epoch=1)
+    # recovery: reload and retry — epoch 0 skipped, epoch 1 lands
+    c = BucketedMergeSink.open(spark, root)
+    assert c.merge(typed.filter("lsn < 100"), epoch=0)["skipped"] is True
+    c.merge(typed.filter("lsn >= 100"), epoch=1)
+    assert sorted(c.committed_epochs()) == [0, 1]
