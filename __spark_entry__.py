@@ -639,10 +639,47 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector symmetric int8 quantization of the embedding column."""
+    """Per-vector symmetric int8 quantization of the embedding column.
+    The quantized vector is serialized to a CSV string for the contract
+    check (the driver's canonicalizer hashes scalar columns; the library
+    operator itself returns the array form)."""
     from kafka_connect_converter_json_spark.operators.similarity import quantize_int8
 
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+    out = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+    )
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (T12, streaming/stream.py:90) run in
+    batch mode — Structured Streaming gives the identical semantics for a
+    batch DataFrame minus incremental state, so the DuckDB time_bucket
+    oracle checks the exact window/agg math the streaming operator uses.
+    Events map onto the typed-change-stream shape: ts -> event_time,
+    event_type -> group col, op = 'd' for every 10th event_id."""
+    from kafka_connect_converter_json_spark.streaming.stream import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.col("event_id").alias("lsn"),
+    )
+    out = windowed_event_counts(
+        ev, time_col="event_time", window_duration="1 hour",
+        group_col="event_type",
+    )
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "n_upserts",
+        "n_deletes",
+        "max_lsn",
+    )
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "ann_ivf": q_ann_ivf,
         "quantize_int8": q_quantize_int8,
+        "windowed_counts": q_windowed_counts,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -1241,13 +1279,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
                    round(absmax / 127.0, 9) AS scale,
-                   CASE WHEN absmax = 0
-                        THEN list_transform(embedding, x -> 0)
-                        ELSE list_transform(embedding, x ->
-                             greatest(-127, least(127,
-                               round(CAST(x AS DOUBLE) / (absmax / 127.0), 0)::INT)))
-                   END AS q
+                   array_to_string(
+                     CASE WHEN absmax = 0
+                          THEN list_transform(embedding, x -> 0)
+                          ELSE list_transform(embedding, x ->
+                               greatest(-127, least(127,
+                                 round(CAST(x AS DOUBLE) / (absmax / 127.0), 0)::INT)))
+                     END, ',') AS q_csv
             FROM a
+        """,
+        "windowed_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CASE WHEN event_id % 10 != 0 THEN 1 ELSE 0 END) AS n_upserts,
+                   sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_deletes,
+                   max(event_id) AS max_lsn
+            FROM events
+            GROUP BY 1, 2
         """,
         "embedding_norms": """
             SELECT vec_id, len(embedding) AS dim,

@@ -279,7 +279,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int | None = None,
     token_hash: str = "md5",
-    max_band_freq: int | None = 1000,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -287,9 +287,10 @@ def simhash_near_pairs(
     guarantees at least one equal band, so ``bands`` defaults to the
     smallest power-of-two divisor of 64 that is >= max_hamming+1 — exact
     (no missed pairs), then bit_count(xor) re-checks precisely.
-    ``max_band_freq`` bounds the per-band fan-out (``band_frequency_cut``);
-    with a cap the result is no longer pigeonhole-exact for keys living
-    only in dropped hot bands — the standard recall/bound tradeoff."""
+    ``max_band_freq`` bounds the per-band fan-out (``band_frequency_cut``)
+    but breaks pigeonhole exactness for keys living only in dropped hot
+    bands, so it defaults to None (exact); scale runs opt in explicitly
+    (the contract query passes 1000 — ADVICE r2)."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
     if 64 % bands != 0:

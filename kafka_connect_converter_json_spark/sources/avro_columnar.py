@@ -46,6 +46,20 @@ class ColumnarUnsupported(Exception):
     """Schema shape or data anomaly outside the columnar fast path."""
 
 
+def _check_logical(leaf: dict) -> dict:
+    """Admit only logical types the columnar stringifier implements.
+    An unknown logicalType (e.g. ``timestamp-nanos``) must NOT crash the
+    fast path mid-decode: rejecting it here (flatten is the plan-time
+    ``supported()`` probe) sends the whole batch to the interpreter,
+    which quarantines the record with 'Unknown logical type' — the
+    reference's behavior (JC:616-618)."""
+    from ..functions.logical_types import CONVERSIONS
+
+    if "logical" in leaf and leaf["logical"] not in CONVERSIONS and leaf["logical"] != "decimal":
+        raise ColumnarUnsupported(f"logical type {leaf['logical']!r}")
+    return leaf
+
+
 # ---------------------------------------------------------------------------
 # schema flattening
 # ---------------------------------------------------------------------------
@@ -97,13 +111,13 @@ def flatten(schema, prefix: tuple[str, ...] = ()) -> list[dict]:
         if "logicalType" in schema:  # e.g. decimal backed by fixed
             leaf["logical"] = schema["logicalType"]
             leaf["scale"] = schema.get("scale", 0)
-        return [leaf]
+        return [_check_logical(leaf)]
     if t in _LEAF_TYPES:
         leaf = {"path": prefix, "type": t, "optional": False}
         if "logicalType" in schema:
             leaf["logical"] = schema["logicalType"]
             leaf["scale"] = schema.get("scale", 0)
-        return [leaf]
+        return [_check_logical(leaf)]
     raise ColumnarUnsupported(f"type {t!r} (array/map need the interpreter)")
 
 
@@ -165,6 +179,11 @@ def _gather_strings(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) ->
     StringArray build (C-level UTF-8 validation + materialization)."""
     import pyarrow as pa
 
+    total = int(lengths.sum())
+    if total >= 2**31:
+        # int32 StringArray offsets would wrap silently; a >2 GiB string
+        # column in one Arrow batch belongs to the interpreter path
+        raise ColumnarUnsupported("string column exceeds 2 GiB per batch")
     data = buf[_ragged_index(starts, lengths)].tobytes()
     offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
     arr = pa.StringArray.from_buffers(
@@ -244,7 +263,7 @@ def _stringify_logical_column(leaf: dict, values: np.ndarray) -> np.ndarray:
             [None if v is None else lt.decimal_to_string(v, scale) for v in values],
             dtype=object,
         )
-    fn = lt.CONVERSIONS[logical]  # raises KeyError -> fallback (JC:616-618)
+    fn = lt.CONVERSIONS[logical]  # unreachable-unknown: flatten() admits only known types
     return np.asarray([None if v is None else fn(v) for v in values], dtype=object)
 
 
@@ -405,7 +424,9 @@ def decode_batch_columns(
                 if leaf.get("optional"):
                     frag[np.asarray([v is None for v in values])] = "null"
                 fragments.append(frag)
-    except (IndexError, ValueError) as e:
+    except (IndexError, ValueError, KeyError) as e:
+        # KeyError belt-and-suspenders: any missing leaf attribute falls
+        # back to the interpreter instead of failing the Spark task
         raise ColumnarUnsupported(f"decode anomaly: {e}") from e
 
     if not np.array_equal(pos, ends):

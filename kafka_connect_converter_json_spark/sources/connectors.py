@@ -59,7 +59,9 @@ def kafka_source_options(
     return opts
 
 
-def events_from_kafka(records: DataFrame, value_format: str = "json") -> DataFrame:
+def events_from_kafka(
+    records: DataFrame, value_format: str = "json", op_from: str = "tombstone",
+) -> DataFrame:
     """Map Kafka's record schema (key/value binary, partition, offset) to
     the engine's event columns.
 
@@ -70,17 +72,46 @@ def events_from_kafka(records: DataFrame, value_format: str = "json") -> DataFra
       ordering is neither provided nor required.
     - tombstone (null value) -> ``op='d'`` with keys recovered from the
       record key (JC:316-318 null-value passthrough as MERGE DELETE).
+    - ``op_from`` selects how deletes are recognized for NON-tombstone
+      records (ADVICE r2: sources like Debezium without
+      ``tombstones.on.delete`` encode deletes *inside* the value):
+
+      - ``"tombstone"`` — only null-value records are deletes; every
+        non-null value is an upsert. Correct ONLY for topics where the
+        connector emits tombstones for deletes (Debezium default,
+        JDBC-sink conventions). A delete encoded in the payload would
+        LWW-win as an upsert under this mode — pick ``"envelope"`` there.
+      - ``"envelope"`` — ``op`` is read from the payload's top-level
+        ``op`` field (Debezium: c/r/u/d); ``d`` maps to delete, anything
+        else (or a missing field) to upsert. JSON values only: Avro op
+        extraction happens after decode, downstream of this mapping.
     - ``value_format="avro"`` keeps the raw bytes for the Avro converter
       (Confluent framing decoded there); ``"json"`` casts to string.
     """
+    if op_from not in ("tombstone", "envelope"):
+        raise ValueError(f"op_from must be tombstone|envelope, got {op_from!r}")
+    if op_from == "envelope" and value_format != "json":
+        raise ValueError(
+            "op_from='envelope' requires value_format='json' (Avro op fields "
+            "are extracted post-decode by the Avro converter)"
+        )
     value_json = (
         F.col("value").cast("string")
         if value_format == "json"
         else F.lit(None).cast("string")
     )
+    if op_from == "envelope":
+        op = F.when(F.col("value").isNull(), F.lit("d")).otherwise(
+            F.when(
+                F.get_json_object(F.col("value").cast("string"), "$.op") == "d",
+                F.lit("d"),
+            ).otherwise(F.lit("u"))
+        )
+    else:
+        op = F.when(F.col("value").isNull(), F.lit("d")).otherwise(F.lit("u"))
     cols = [
         F.col("offset").cast("long").alias("lsn"),
-        F.when(F.col("value").isNull(), F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        op.alias("op"),
         F.lit(None).cast("string").alias("schema_name"),
         value_json.alias("value_json"),
         F.col("key").cast("string").alias("key_json"),

@@ -126,6 +126,45 @@ def test_batch_converter_columnar_equals_interpreter():
     assert fast["payload"].iloc[-1] is None  # quarantined (admission)
 
 
+NANOS_SCHEMA = {
+    "type": "record", "name": "Nanos",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-nanos"}},
+    ],
+}
+
+
+def test_unknown_logical_type_is_not_columnar():
+    """An unrecognized logicalType must be rejected at plan time (probe),
+    not crash mid-decode with a KeyError."""
+    assert not ac.supported(NANOS_SCHEMA)
+    with pytest.raises(ac.ColumnarUnsupported):
+        ac.flatten(NANOS_SCHEMA)
+
+
+def test_unknown_logical_type_quarantines_identically():
+    """ADVICE r2 (high): a writer schema carrying e.g. timestamp-nanos
+    must be quarantined with the interpreter's 'Unknown logical type'
+    error under columnar=True, not fail the Spark task."""
+    reg = av.LocalSchemaRegistry.of({7: RICH_SCHEMA, 11: NANOS_SCHEMA})
+    frames = [av.encode_wire(7, b) for b in _bodies(4)]
+    frames.append(av.encode_wire(11, av.encode(NANOS_SCHEMA, {"id": 1, "ts": 12345})))
+    pdf = pd.DataFrame({"value_bytes": frames})
+    cfg = ConverterConfig(
+        payload_field_name="payload", input_format="avro",
+        schema_names=("Rich", "Nanos"),
+        keys={"Rich": {"id": "id_str"}, "Nanos": {"id": "id_str"}},
+        identifiers=(), uppercase=False,
+    )
+    fast = avro_convert_batch(pdf, cfg, reg, columnar=True)
+    slow = avro_convert_batch(pdf, cfg, reg, columnar=False)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert fast["_error"].iloc[-1] is not None
+    assert "logical type" in fast["_error"].iloc[-1].lower()
+    assert fast["_error"].iloc[:4].isna().all()  # good records unaffected
+
+
 def test_batch_converter_falls_back_on_corrupt_frame():
     reg = av.LocalSchemaRegistry.of({7: RICH_SCHEMA})
     frames = [av.encode_wire(7, b) for b in _bodies(6)]

@@ -42,6 +42,29 @@ def test_events_from_kafka_mapping(spark):
     assert by[7].value_bytes == b'{"content":"x"}' and by[7].value_json is None
 
 
+def test_events_from_kafka_envelope_op(spark):
+    """ADVICE r2: Debezium-style deletes encoded in the value payload
+    (op:'d', no tombstone) must map to delete, not LWW-win as an upsert."""
+    rows = [
+        (b'{"k":1}', b'{"op":"u","after":{"x":1}}', "t", 0, 1, None),
+        (b'{"k":1}', b'{"op":"d","before":{"x":1}}', "t", 0, 2, None),  # payload delete
+        (b'{"k":2}', b'{"after":{"x":2}}', "t", 0, 3, None),            # no op field
+        (b'{"k":2}', None, "t", 0, 4, None),                            # tombstone
+    ]
+    records = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long, timestamp timestamp"
+    )
+    out = {r.lsn: r.op for r in cx.events_from_kafka(records, op_from="envelope").collect()}
+    assert out == {1: "u", 2: "d", 3: "u", 4: "d"}
+    # default tombstone mode keeps the documented only-tombstones contract
+    legacy = {r.lsn: r.op for r in cx.events_from_kafka(records).collect()}
+    assert legacy == {1: "u", 2: "u", 3: "u", 4: "d"}
+    with pytest.raises(ValueError):
+        cx.events_from_kafka(records, value_format="avro", op_from="envelope")
+    with pytest.raises(ValueError):
+        cx.events_from_kafka(records, op_from="bogus")
+
+
 def test_http_registry_fetch_once_and_memo():
     calls = []
 
