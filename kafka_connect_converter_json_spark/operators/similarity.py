@@ -113,24 +113,42 @@ def _decimal_projection(vec, weights: list[float]):
     )
 
 
+# |decimal projection - float projection| is bounded by the per-term
+# decimal(28,9) quantization (dim * 0.5e-9) plus float summation error
+# (~dim^2 * ulp) — ~3.3e-8 at dim 64. Any float projection farther from
+# zero than this bound has the decimal fold's sign for certain.
+_SIGN_EPS = 1e-6
+
+
 def hyperplane_sketch(vec, bits: int, table: int = 0, dim: int | None = None):
     """Deterministic random-hyperplane sign sketch: bit h of the sketch =
     sign of sum_d(w[h,d] * vec[d]).
 
     With ``dim`` (the fixed embedding dimension): plan-time md5-derived
-    literal weights + decimal-exact projections — the portable,
-    oracle-verified form with no per-row hash calls. Without ``dim``
-    (dynamic-width vectors): per-row xxhash64-derived weights and float
-    fold — cheap and Spark-reproducible, but not cross-engine-exact."""
+    literal weights, evaluated float-first — the cheap double fold decides
+    the bit whenever |projection| > _SIGN_EPS (where float and decimal
+    signs provably agree); only boundary rows pay the decimal-exact fold,
+    so the sketch stays bit-for-bit oracle-reproducible at float cost
+    (VERDICT r2 #3: the all-decimal fold was the suite's cost center).
+    Without ``dim`` (dynamic-width vectors): per-row xxhash64-derived
+    weights and float fold — cheap and Spark-reproducible, but not
+    cross-engine-exact."""
     one = F.lit(1).cast("long")
 
     if dim is not None:
         ws = hyperplane_weights(bits, table, dim)
 
         def bit(h: int):
-            return F.when(
-                _decimal_projection(vec, ws[h]) >= 0, F.shiftleft(one, h)
-            ).otherwise(F.lit(0).cast("long"))
+            w = F.array(*[F.lit(x) for x in ws[h]])
+            pf = F.aggregate(
+                F.zip_with(vec, w, lambda x, wd: x.cast("double") * wd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sign = F.when(pf > _SIGN_EPS, True).when(pf < -_SIGN_EPS, False).otherwise(
+                _decimal_projection(vec, ws[h]) >= 0  # boundary rows only
+            )
+            return F.when(sign, F.shiftleft(one, h)).otherwise(F.lit(0).cast("long"))
     else:
 
         def bit(h: int):
