@@ -270,15 +270,22 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
 
     def encode_batches(batches):
+        # columnar fixture encode (no per-row loop): the vectorized mirror
+        # of the decoder under test, round-trip-parity-tested against the
+        # per-record av.encode in tests/test_avro_columnar.py
+        from kafka_connect_converter_json_spark.sources.avro_columnar import (
+            encode_batch_columns,
+        )
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["value_bytes"] = [
-                av.encode_wire(
-                    1,
-                    av.encode(schema, {"meta": {"id": int(r.doc_id), "lang": r.lang}, "content": r.text}),
-                )
-                for r in pdf.itertuples()
-            ]
+            pdf["value_bytes"] = encode_batch_columns(
+                schema,
+                {"meta.id": pdf["doc_id"].to_numpy(),
+                 "meta.lang": pdf["lang"],
+                 "content": pdf["text"]},
+                wire_schema_id=1,
+            )
             yield pdf[["doc_id", "value_bytes"]]
 
     framed = docs.mapInPandas(encode_batches, schema="doc_id long, value_bytes binary")

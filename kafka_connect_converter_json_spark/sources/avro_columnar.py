@@ -442,3 +442,121 @@ def decode_batch_columns(
                 acc = acc + lit
         payload_json = acc.to_numpy(dtype=object)
     return cols, payload_json
+
+
+# ---------------------------------------------------------------------------
+# batch encode (the decoder's mirror): columns -> Avro bodies, vectorized
+# ---------------------------------------------------------------------------
+
+def _varint_column(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Zigzag-varint encode an int64 column. Returns (per-value byte
+    widths, one flat uint8 buffer) — the encoder mirror of
+    ``_read_varint``: one masked pass per byte position (<=10), never a
+    per-value Python loop."""
+    v = vals.astype(np.int64)
+    u = ((v << 1) ^ (v >> 63)).astype(np.uint64)
+    widths = np.ones(len(u), dtype=np.int64)
+    for j in range(1, 10):
+        widths += (u >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    out = np.empty(int(widths.sum()), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    rem = u.copy()
+    for j in range(10):
+        mask = widths > j
+        if not mask.any():
+            break
+        idx = np.flatnonzero(mask)
+        byte = (rem[idx] & np.uint64(0x7F)).astype(np.uint8)
+        more = widths[idx] > (j + 1)
+        byte[more] |= np.uint8(0x80)
+        out[starts[idx] + j] = byte
+        rem[idx] >>= np.uint64(7)
+    return widths, out
+
+
+def _utf8_column(vals) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 encode a string column via ONE Arrow StringArray build.
+    Returns (per-value byte lengths, flat uint8 buffer)."""
+    import pyarrow as pa
+
+    arr = pa.array(list(vals), type=pa.string())
+    if arr.null_count:
+        raise ValueError("null in non-optional string column")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: len(arr) + 1]
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)[: offsets[-1]]
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return np.diff(offsets).astype(np.int64), data
+
+
+def encode_batch_columns(schema, cols: dict[str, "np.ndarray | list"],
+                         wire_schema_id: int | None = None) -> np.ndarray:
+    """Vectorized mirror of ``decode_batch_columns``: encode a batch of
+    flat-able records (leaf types long/int/string/boolean, non-optional)
+    from per-leaf columns into Avro binary bodies — optionally
+    Confluent-wire-framed when ``wire_schema_id`` is given. One numpy
+    pass per leaf, one ragged scatter, one Arrow BinaryArray
+    materialization; no per-record Python. Intended for fixture/bench
+    data generation at scale (the decode contract tests prove
+    round-trip parity against the per-record interpreter)."""
+    import pyarrow as pa
+
+    leaves = flatten(schema)
+    n = None
+    chunks: list[tuple[np.ndarray, np.ndarray]] = []  # (widths, flat bytes)
+    for leaf in leaves:
+        if leaf.get("optional") or "logical" in leaf:
+            raise ColumnarUnsupported("encode supports non-optional plain leaves")
+        dotted = ".".join(leaf["path"])
+        vals = np.asarray(cols[dotted], dtype=object)
+        n = len(vals) if n is None else n
+        if len(vals) != n:
+            raise ValueError(f"column {dotted} length {len(vals)} != {n}")
+        t = leaf["type"]
+        if t in ("long", "int"):
+            chunks.append(_varint_column(vals.astype(np.int64)))
+        elif t == "string":
+            lens, data = _utf8_column(vals)
+            lw, lbuf = _varint_column(lens)
+            chunks.append((lw, lbuf))
+            chunks.append((lens, data))
+        elif t == "boolean":
+            b = vals.astype(bool).astype(np.uint8)
+            chunks.append((np.ones(n, dtype=np.int64), b))
+        else:
+            raise ColumnarUnsupported(f"encode leaf type {t!r}")
+    if n is None:
+        raise ValueError("schema has no leaves")
+
+    prefix = b""
+    if wire_schema_id is not None:
+        prefix = bytes([0]) + int(wire_schema_id).to_bytes(4, "big")
+    pw = len(prefix)
+
+    row_len = np.full(n, pw, dtype=np.int64)
+    for widths, _ in chunks:
+        row_len += widths
+    total = int(row_len.sum())
+    out = np.empty(total, dtype=np.uint8)
+    row_starts = np.concatenate([[0], np.cumsum(row_len)[:-1]])
+
+    cursor = row_starts.copy()
+    if pw:
+        pre = np.frombuffer(prefix, dtype=np.uint8)
+        idx = (cursor[:, None] + np.arange(pw)).ravel()
+        out[idx] = np.tile(pre, n)
+        cursor = cursor + pw
+    for widths, flat in chunks:
+        starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+        out[_ragged_index(cursor, widths)] = flat[_ragged_index(starts, widths)]
+        cursor = cursor + widths
+
+    offsets = np.concatenate([[0], np.cumsum(row_len)]).astype(np.int64)
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())],
+    )
+    return np.asarray(arr.to_pandas(), dtype=object)

@@ -165,6 +165,45 @@ def test_unknown_logical_type_quarantines_identically():
     assert fast["_error"].iloc[:4].isna().all()  # good records unaffected
 
 
+def test_encode_batch_columns_round_trip():
+    """The vectorized encoder must be byte-identical to the per-record
+    reference encoder, wire framing included (it generates fixture/bench
+    data for the decoder under test)."""
+    schema = {"type": "record", "name": "Doc", "fields": [
+        {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "lang", "type": "string"},
+            {"name": "ok", "type": "boolean"}]}},
+        {"name": "content", "type": "string"},
+    ]}
+    n = 300
+    ids = [i * 1_000_000_007 - 150_000_001_050 for i in range(n)]  # negatives, multibyte
+    langs = [["en", "fr", "ñó", "x" * 200][i % 4] for i in range(n)]
+    oks = [i % 3 == 0 for i in range(n)]
+    contents = [f'doc "{i}" content' * (i % 5) for i in range(n)]  # incl. empty
+    enc = ac.encode_batch_columns(
+        schema,
+        {"meta.id": ids, "meta.lang": langs, "meta.ok": oks, "content": contents},
+        wire_schema_id=7,
+    )
+    for i in range(n):
+        ref = av.encode_wire(7, av.encode(schema, {
+            "meta": {"id": ids[i], "lang": langs[i], "ok": oks[i]},
+            "content": contents[i],
+        }))
+        assert bytes(enc[i]) == ref, f"row {i}"
+    # and the decoder reads its own encoder's bodies back
+    cols, _ = ac.decode_batch_columns(schema, [bytes(e)[5:] for e in enc],
+                                      build_payload=False)
+    assert list(cols["meta.lang"]) == langs
+    with pytest.raises(ac.ColumnarUnsupported):
+        ac.encode_batch_columns(
+            {"type": "record", "name": "O", "fields": [
+                {"name": "x", "type": ["null", "long"]}]},
+            {"x": [1]},
+        )
+
+
 def test_batch_converter_falls_back_on_corrupt_frame():
     reg = av.LocalSchemaRegistry.of({7: RICH_SCHEMA})
     frames = [av.encode_wire(7, b) for b in _bodies(6)]
