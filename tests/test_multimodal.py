@@ -1,5 +1,9 @@
-"""Multimodal binary-column plumbing (decode stubbed, plumbing real)."""
+"""Multimodal binary columns: real PNG/WAV codecs + fake-stub plumbing."""
 
+import struct
+import zlib
+
+import numpy as np
 import pytest
 
 from kafka_connect_converter_json_spark.operators import multimodal as mm
@@ -17,9 +21,101 @@ def test_metadata_without_decode(media):
         assert r.n_bytes > 0 and len(r.sha256) == 64
 
 
-def test_decode_stub_raises_without_fake(media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+def test_unknown_format_raises_without_fake(media):
+    """synth_media payloads are hex text — no magic bytes, no codec."""
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
         mm.decode_features(media, fake=False).collect()
+
+
+# -- real-codec golden files --------------------------------------------------
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+        ">I", zlib.crc32(ctype + body))
+
+
+def _encode_png(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Forward PNG filtering per the spec — an independent inverse of the
+    decoder's unfilter (h, w, channels) uint8."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = pixels[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pr = a if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - c) \
+                    else (b if abs(p - b) <= abs(p - c) else c)
+                v = row[x] - pr
+            raw.append(v & 0xFF)
+        prev = row
+    return (mm.PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_png_decode_inverts_all_filters():
+    rng = np.random.RandomState(11)
+    pixels = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    png = _encode_png(pixels, filters=[0, 1, 2, 3, 4])
+    out = mm.decode_png(png)
+    assert (out["width"], out["height"], out["n_frames"]) == (7, 9, 1)
+    want, _ = np.histogram(pixels, bins=8, range=(0, 256))
+    assert out["features"] == (want / pixels.size).tolist()
+    # grayscale + RGBA shapes too
+    for ch in (1, 4):
+        px = rng.randint(0, 256, size=(4, 5, ch), dtype=np.uint8)
+        o = mm.decode_png(_encode_png(px, filters=[4, 3, 1]))
+        assert (o["width"], o["height"]) == (5, 4)
+
+
+def test_wav_decode_golden():
+    samples = (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+    out = mm.decode_wav(_encode_wav(samples, rate=8000, channels=1))
+    assert out["n_frames"] == 800 and out["width"] is None
+    want, _ = np.histogram(samples.astype(np.int64), bins=8, range=(-32768, 32768))
+    assert out["features"] == (want / 800).tolist()
+
+
+def test_real_codecs_through_spark(spark):
+    rng = np.random.RandomState(3)
+    png = _encode_png(rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8), [2, 4])
+    wav = _encode_wav((rng.randn(300) * 1000).astype(np.int16))
+    df = spark.createDataFrame(
+        [(1, "image", None, bytearray(png)), (2, "audio", None, bytearray(wav))],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.decode_features(df, fake=False).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (8, 6, 1)
+    assert rows[2].n_frames == 300 and rows[2].width is None
+    assert abs(sum(rows[1].features) - 1.0) < 1e-6
+    with pytest.raises(Exception, match="no codec"):
+        mm.decode_media(b"\xff\xd8\xff jpeg-ish")
 
 
 def test_fake_decode_deterministic_schema(media):
