@@ -51,9 +51,15 @@ HEADLINE = [
     "frame_sample",
     "ann_ivf",
     "quantize_int8",
+    "windowed_counts",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
+# per-query best-of-N: the shared sandbox host swings +/-30% (BENCH.md);
+# r2's driver bench ran each query once and recorded host noise as
+# regressions (VERDICT r2 #2/#5). Conditions pinned below: shuffle
+# partitions = max(8, cpus), AQE on, UTC, 48g driver.
+QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
 
 
 def build_spark(cpus: str):
@@ -248,7 +254,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        times[name] = round(time_query(qs[name], spark, sf_dir), 3)
+        times[name] = round(
+            min(time_query(qs[name], spark, sf_dir) for _ in range(QUERY_REPEATS)),
+            3,
+        )
 
     ingest_stats = bench_ingest(spark, INGEST_EVENTS, int(cpus) * 2)
     ingest_stats.update(bench_avro(spark, AVRO_EVENTS))
@@ -261,6 +270,7 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
         "cpus": int(cpus),
+        "query_repeats": QUERY_REPEATS,
         **ingest_stats,
     }
     print(json.dumps(out))
