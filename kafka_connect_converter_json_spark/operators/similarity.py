@@ -303,8 +303,14 @@ def ivf_topk(
             (F.array_position(F.col("_d"), F.array_min("_d")) - 1).alias("cell"),
         )
     )
+    # same materialize-first discipline on the query side: element_at of
+    # the K-distance array inside the transform lambda would rebuild the
+    # whole K x dim expression per centroid index
     probes = queries.select(
         F.col(id_col).alias("query_id"),
+        dist_array(F.col(vec_col)).alias("_qd"),
+    ).select(
+        "query_id",
         F.explode(
             F.transform(
                 F.slice(
@@ -312,7 +318,7 @@ def ivf_topk(
                         F.transform(
                             F.sequence(F.lit(0), F.lit(n_centroids - 1)),
                             lambda i: F.struct(
-                                F.element_at(dist_array(F.col(vec_col)), i + 1).alias("d"),
+                                F.element_at(F.col("_qd"), i + 1).alias("d"),
                                 i.alias("i"),
                             ),
                         )
@@ -352,21 +358,29 @@ def quantize_int8(
     error at dim 64): scale = max|x|/127, q_d = clamp(round(x_d/scale)).
     Pure JVM projection, no shuffle; engine-portable arithmetic (double
     division + HALF_UP rounding match any SQL engine's round())."""
-    x = F.col(vec_col)
-    absmax = F.aggregate(
-        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    # materialize absmax into a column FIRST: referencing the aggregate
+    # expression inside the transform lambda would re-run the O(dim)
+    # fold once per element (O(dim^2) per row — no CSE across lambda
+    # scopes, the same trap as text.fingerprint)
+    pre = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda a, v: F.greatest(a, F.abs(v.cast("double"))),
+        ).alias("_absmax"),
     )
-    scale = absmax / F.lit(127.0)
-    q = F.when(absmax == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+    scale = F.col("_absmax") / F.lit(127.0)
+    q = F.when(F.col("_absmax") == 0, F.transform(F.col("_v"), lambda v: F.lit(0))).otherwise(
         F.transform(
-            x,
+            F.col("_v"),
             lambda v: F.greatest(
                 F.lit(-127),
                 F.least(F.lit(127), F.round(v.cast("double") / scale, 0).cast("int")),
             ),
         )
     )
-    return df.select(
+    return pre.select(
         F.col(id_col),
         F.round(scale, 9).alias("scale"),
         q.alias("q"),

@@ -182,6 +182,8 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
+        # sh rows are already unique per (id, shingle) — the per-doc
+        # array_distinct guarantees it — so no distinct shuffle here
         a = sh.select(F.col("shingle"), F.col("id").alias("id_a"))
         b = sh.select(F.col("shingle"), F.col("id").alias("id_b"))
         common = (
