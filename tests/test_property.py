@@ -192,3 +192,69 @@ def test_avro_roundtrip(value):
 def test_zigzag_roundtrip(n):
     r = av._Reader(av._zz(n))
     assert r.zigzag() == n
+
+
+# ---------------------------------------------------------------------------
+# property: columnar batch ENCODER == per-record encoder, random flat schemas
+# ---------------------------------------------------------------------------
+
+_enc_leaf = st.sampled_from(["long", "int", "string", "boolean"])
+
+
+@st.composite
+def _enc_schema_and_rows(draw):
+    n_fields = draw(st.integers(1, 5))
+    names = draw(st.lists(st.sampled_from(list("abcdefgh")),
+                          min_size=n_fields, max_size=n_fields, unique=True))
+    types = [draw(_enc_leaf) for _ in range(n_fields)]
+    # one optional nesting level (avro flattens records to leaf order)
+    nest = draw(st.booleans()) and n_fields >= 2
+    if nest:
+        inner = {"type": "record", "name": "In", "fields": [
+            {"name": names[i], "type": types[i]} for i in range(2)]}
+        fields = [{"name": "nested", "type": inner}] + [
+            {"name": names[i], "type": types[i]} for i in range(2, n_fields)]
+    else:
+        fields = [{"name": names[i], "type": types[i]} for i in range(n_fields)]
+    schema = {"type": "record", "name": "R", "fields": fields}
+
+    def val(t):
+        if t in ("long", "int"):
+            lim = 2**62 if t == "long" else 2**31 - 1
+            return draw(st.integers(min_value=-lim, max_value=lim))
+        if t == "string":
+            return draw(st.text(max_size=25))
+        return draw(st.booleans())
+
+    n_rows = draw(st.integers(1, 8))
+    rows = []
+    for _ in range(n_rows):
+        row = {}
+        for i, t in enumerate(types):
+            row[names[i]] = val(t)
+        if nest:
+            row = {"nested": {names[0]: row[names[0]], names[1]: row[names[1]]},
+                   **{names[i]: row[names[i]] for i in range(2, n_fields)}}
+        rows.append(row)
+    return schema, rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(_enc_schema_and_rows())
+def test_columnar_encoder_matches_reference(case):
+    """encode_batch_columns must be byte-identical to av.encode on any
+    flat-able schema of supported leaves (unicode, negatives, empties)."""
+    from kafka_connect_converter_json_spark.sources import avro_columnar as ac
+
+    schema, rows = case
+    leaves = ac.flatten(schema)
+    cols = {
+        ".".join(leaf["path"]): [
+            (r["nested"][leaf["path"][1]] if leaf["path"][0] == "nested" else r[leaf["path"][0]])
+            for r in rows
+        ]
+        for leaf in leaves
+    }
+    enc = ac.encode_batch_columns(schema, cols, wire_schema_id=3)
+    for i, r in enumerate(rows):
+        assert bytes(enc[i]) == av.encode_wire(3, av.encode(schema, r)), f"row {i}"
