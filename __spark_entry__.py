@@ -689,6 +689,32 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — operators/asof.py's union-window
+    plan (one shuffle, no range-join fan-out): each click event gets the
+    latest at-or-before purchase state of the same user. The oracle is
+    DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    the same semantics, not a formula replication."""
+    from kafka_connect_converter_json_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"), F.max("event_id").alias("p_id"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], "ts", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("click_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSS").alias("purchase_ts"),
+        F.round(F.col("pval_asof").cast("double"), 4).alias("pval"),
+        F.col("p_id_asof").alias("purchase_id"),
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector plumbing: dimension + L2 norm (rounded) per embedding."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -748,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "quantize_int8": q_quantize_int8,
         "windowed_counts": q_windowed_counts,
+        "asof_join": q_asof_join,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -1306,6 +1333,23 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS max_lsn
             FROM events
             GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT user_id, ts, max(value) AS pval, max(event_id) AS p_id
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.event_id,
+                   c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%g') AS click_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%g') AS purchase_ts,
+                   round(p.pval, 4) AS pval,
+                   p.p_id AS purchase_id
+            FROM clicks c
+            ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "embedding_norms": """
             SELECT vec_id, len(embedding) AS dim,

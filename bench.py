@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_ivf",
     "quantize_int8",
     "windowed_counts",
+    "asof_join",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
