@@ -454,3 +454,134 @@ class BucketedMergeSink:
 
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))
+
+    def _snapshot_map(self, epoch: int | None) -> dict:
+        if epoch is None:
+            return {}
+        for e in self._manifest["epochs"]:
+            if e["epoch"] == epoch:
+                return dict(e["buckets"])
+        raise ValueError(f"epoch {epoch} is not committed")
+
+    def read_changes(self, to_epoch: int, from_epoch: int | None = None) -> DataFrame:
+        """Incremental changelog between two committed snapshots — the
+        change-data-feed analogue (Iceberg incremental read / Delta CDF).
+        Rows: keys + ``_change_type`` (insert | update_postimage |
+        delete) + the post-image payload (pre-image for deletes) +
+        ``order_col``. ``from_epoch=None`` diffs against the empty table
+        (everything is an insert).
+
+        Scale property: copy-on-write means an untouched bucket keeps the
+        IDENTICAL file path across snapshots, so only buckets whose path
+        differs between the two bucket maps are read at all — the diff
+        cost is O(changed data), not O(table). Within changed buckets a
+        key changed iff its stored ``order_col`` changed (LWW: one
+        version per key per snapshot, monotone in ``order_col``)."""
+        fm, tm = self._snapshot_map(from_epoch), self._snapshot_map(to_epoch)
+        f_items, t_items = set(fm.items()), set(tm.items())
+        old_rels = [rel for b, rel in fm.items() if (b, rel) not in t_items]
+        new_rels = [rel for b, rel in tm.items() if (b, rel) not in f_items]
+
+        def _read(rels: list[str]) -> DataFrame | None:
+            if not rels:
+                return None
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.root, r) for r in rels])
+                .drop("_bucket")
+            )
+
+        old, new = _read(old_rels), _read(new_rels)
+        if old is None and new is None:
+            raise ValueError("snapshots are identical — no changed buckets")
+        ct = "_change_type"
+        if old is None:
+            return new.withColumn(ct, F.lit("insert"))
+        if new is None:
+            return old.withColumn(ct, F.lit("delete"))
+        payload_cols = [c for c in new.columns if c not in self.keys and c != self.order_col]
+        o = old.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in self.keys],
+            F.col(self.order_col).alias("_o_ord"),
+            *[F.col(c).alias(f"_o_{c}") for c in payload_cols if c in old.columns],
+        )
+        n = new.select(
+            *[F.col(k).alias(f"_nk_{k}") for k in self.keys],
+            F.col(self.order_col).alias("_n_ord"),
+            *[F.col(c).alias(f"_n_{c}") for c in payload_cols],
+        )
+        cond = None
+        for k in self.keys:
+            eq = o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"])
+            cond = eq if cond is None else (cond & eq)
+        j = o.join(n, cond, "full_outer")
+        present_new = F.col("_n_ord").isNotNull() | F.col(f"_nk_{self.keys[0]}").isNotNull()
+        present_old = F.col("_o_ord").isNotNull() | F.col(f"_ok_{self.keys[0]}").isNotNull()
+        change = (
+            F.when(~present_new, F.lit("delete"))
+            .when(~present_old, F.lit("insert"))
+            .when(F.col("_n_ord") != F.col("_o_ord"), F.lit("update_postimage"))
+            .otherwise(F.lit(None))  # same stored version: not a change
+        )
+        out = j.withColumn(ct, change).filter(F.col(ct).isNotNull())
+        sel = [
+            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in self.keys
+        ]
+        sel.append(F.col(ct))
+        sel.append(
+            F.coalesce(F.col("_n_ord"), F.col("_o_ord")).alias(self.order_col)
+        )
+        for c in payload_cols:
+            pre = F.col(f"_o_{c}") if f"_o_{c}" in j.columns else F.lit(None)
+            sel.append(
+                F.when(F.col(ct) == "delete", pre).otherwise(F.col(f"_n_{c}")).alias(c)
+            )
+        return out.select(*sel)
+
+    # ----- maintenance: bucket-count evolution -----------------------------
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Online bucket-count evolution (the Iceberg
+        rewrite_data_files + partition-spec-evolution analogue). The
+        right bucket count GROWS with the table — fixed buckets that were
+        right at 10^8 rows are hotspots at 10^10 — so the table can be
+        rewritten under a new ``pmod(xxhash64(keys), N)`` in one job and
+        committed atomically through the same manifest CAS as an epoch.
+        Readers see the old layout until the commit; prior epoch
+        snapshots keep their old-layout paths, so time travel is
+        unaffected (until vacuum). Idempotent retry-safety comes from the
+        optimistic-concurrency check: a concurrent epoch commit raises
+        instead of being silently overwritten."""
+        if new_num_buckets == self.num_buckets:
+            return {"rebucketed": False, "num_buckets": self.num_buckets}
+        current = self.read()
+        seq = len(self._manifest.get("maintenance", []))
+        rel_dir = f"data/m{seq:06d}"
+        out_dir = os.path.join(self.root, rel_dir)
+        if os.path.exists(out_dir):  # orphan from a crashed attempt
+            shutil.rmtree(out_dir)
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(new_num_buckets)
+        )
+        (
+            current.withColumn("_bucket", bucket)
+            .repartition(new_num_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_map = {
+            d.split("=", 1)[1]: f"{rel_dir}/{d}"
+            for d in os.listdir(out_dir)
+            if d.startswith("_bucket=")
+        }
+        manifest = dict(self._manifest)
+        manifest["buckets"] = new_map
+        manifest["num_buckets"] = new_num_buckets
+        manifest["maintenance"] = manifest.get("maintenance", []) + [
+            {"op": "rebucket", "from": self.num_buckets, "to": new_num_buckets,
+             "dir": rel_dir}
+        ]
+        self._commit_manifest(manifest)
+        self.num_buckets = new_num_buckets
+        return {"rebucketed": True, "num_buckets": new_num_buckets,
+                "buckets_written": len(new_map)}

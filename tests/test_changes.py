@@ -1,0 +1,84 @@
+"""Sink maintenance surfaces: incremental changelog (read_changes) and
+bucket-count evolution (rebucket)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_converter_json_spark.streaming.sink import BucketedMergeSink
+
+
+def _sink(spark, tmp_path, **kw):
+    return BucketedMergeSink(
+        spark, str(tmp_path / "sink"), keys=["k"], order_col="lsn",
+        num_buckets=4, **kw,
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, lsn long, op string, v string")
+
+
+def test_read_changes_insert_update_delete(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.merge(_batch(spark, [("k1", 1, "u", "a"), ("k2", 2, "u", "b")]), epoch=0)
+    sink.merge(_batch(spark, [("k1", 3, "u", "a2"), ("k3", 4, "u", "c")]), epoch=1)
+    sink.merge(_batch(spark, [("k2", 5, "d", None)]), epoch=2)
+
+    # epoch 0 vs empty: all inserts
+    c0 = {(r.k, r._change_type, r.v) for r in sink.read_changes(0).collect()}
+    assert c0 == {("k1", "insert", "a"), ("k2", "insert", "b")}
+
+    c01 = {(r.k, r._change_type, r.v, r.lsn)
+           for r in sink.read_changes(1, from_epoch=0).collect()}
+    assert c01 == {("k1", "update_postimage", "a2", 3), ("k3", "insert", "c", 4)}
+
+    c12 = {(r.k, r._change_type, r.v) for r in sink.read_changes(2, from_epoch=1).collect()}
+    assert c12 == {("k2", "delete", "b")}  # pre-image payload on delete
+
+    # 0 -> 2 composes: k1 updated, k3 inserted, k2 deleted
+    c02 = {(r.k, r._change_type) for r in sink.read_changes(2, from_epoch=0).collect()}
+    assert c02 == {("k1", "update_postimage"), ("k3", "insert"), ("k2", "delete")}
+
+
+def test_read_changes_prunes_identical_buckets(spark, tmp_path):
+    """A snapshot diffed against itself has no changed buckets — the
+    copy-on-write path-identity pruning refuses to scan anything."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_batch(spark, [("k1", 1, "u", "a")]), epoch=0)
+    with pytest.raises(ValueError, match="identical"):
+        sink.read_changes(0, from_epoch=0)
+
+
+def test_rebucket_preserves_state_and_layout(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    rows = [(f"k{i}", i, "u", f"v{i}") for i in range(40)]
+    sink.merge(_batch(spark, rows), epoch=0)
+    before = sorted(tuple(r) for r in sink.read().select("k", "lsn", "v").collect())
+
+    out = sink.rebucket(16)
+    assert out["rebucketed"] and sink.num_buckets == 16
+    after = sorted(tuple(r) for r in sink.read().select("k", "lsn", "v").collect())
+    assert after == before
+
+    # merging continues under the new layout
+    sink.merge(_batch(spark, [("k1", 100, "u", "new"), ("kx", 101, "u", "x")]), epoch=1)
+    final = {r.k: r.v for r in sink.read().collect()}
+    assert final["k1"] == "new" and final["kx"] == "x" and len(final) == 41
+
+    # open() adopts the evolved layout; the stale count is a hard error
+    reopened = BucketedMergeSink.open(spark, str(tmp_path / "sink"))
+    assert reopened.num_buckets == 16
+    with pytest.raises(ValueError, match="num_buckets"):
+        BucketedMergeSink(spark, str(tmp_path / "sink"), keys=["k"],
+                          order_col="lsn", num_buckets=4)
+
+
+def test_rebucket_noop_and_vacuum_reclaims_old_layout(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.merge(_batch(spark, [(f"k{i}", i, "u", "v") for i in range(20)]), epoch=0)
+    assert sink.rebucket(4) == {"rebucketed": False, "num_buckets": 4}
+    sink.rebucket(8)
+    removed = sink.vacuum()
+    assert any(rel.startswith("data/e") for rel in removed)  # old layout gone
+    assert sink.read().count() == 20  # current layout intact
