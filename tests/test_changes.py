@@ -82,3 +82,25 @@ def test_rebucket_noop_and_vacuum_reclaims_old_layout(spark, tmp_path):
     removed = sink.vacuum()
     assert any(rel.startswith("data/e") for rel in removed)  # old layout gone
     assert sink.read().count() == 20  # current layout intact
+
+def test_sort_within_buckets_clusters_files(spark, tmp_path):
+    """SORTED BY analogue: with the option on, each bucket file's rows
+    are ordered by the merge keys, so parquet row-group min/max stats
+    support key-predicate skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sink = BucketedMergeSink(
+        spark, str(tmp_path / "sorted"), keys=["k"], order_col="lsn",
+        num_buckets=2, sort_within_buckets=True,
+    )
+    rows = [(f"k{i:03d}", i, "u", "v") for i in reversed(range(60))]
+    sink.merge(_batch(spark, rows), epoch=0)
+    files = glob.glob(str(tmp_path / "sorted" / "data" / "*" / "_bucket=*" / "*.parquet"))
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
+    # state unaffected by the clustering
+    assert sink.read().count() == 60

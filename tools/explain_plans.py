@@ -110,6 +110,15 @@ def main() -> None:
         ["Exchange"],
     ))
 
+    # 7. as-of join: union-window plan — ONE shuffle, ZERO join operators
+    # (the naive range-join form would show a join with fan-out)
+    plan7 = formatted(em.q_asof_join(spark, sf_dir))
+    sections.append((
+        "As-of join (union-window: one shuffle, no join operator)",
+        plan7,
+        ["Union", "Window"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -132,6 +141,14 @@ def main() -> None:
         "Embedding near-dup pairs", "pair-distinct exchange carries no vectors",
         no_vec_in_distinct,
     ))
+    # the as-of core must be join-free; the contract query's purchase
+    # pre-aggregation contributes aggregates but no join either
+    no_join = not any(
+        marker in plan7
+        for marker in ("SortMergeJoin", "BroadcastHashJoin",
+                       "BroadcastNestedLoopJoin", "CartesianProduct")
+    )
+    checks.append(("As-of join", "no join operator (union-window form)", no_join))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n\n")
