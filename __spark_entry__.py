@@ -715,6 +715,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — operators/intervals.py's chunked plan:
+    each click joins to every 2-hour purchase window of the same user
+    containing it. Chunking manufactures an equi-join key so Spark never
+    plans the O(|P| x |I|) nested loop; the oracle runs the plain
+    BETWEEN predicate — independent implementation, same semantics."""
+    from kafka_connect_converter_json_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("win_start"),
+        (F.unix_timestamp("ts") + 7200).alias("win_end"),
+    )
+    return interval_join(
+        points, iv, keys=["user_id"], time_col="t",
+        start_col="win_start", end_col="win_end", chunk=3600,
+    ).select("p_id", "user_id", "t", "iv_id", "win_start", "win_end")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gaps-and-islands): per-user sessions split at
+    >30-minute gaps, aggregated to (n_events, start, end, duration).
+    The oracle is the independent lag()+running-sum formulation."""
+    from kafka_connect_converter_json_spark.operators.intervals import session_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    )
+    return session_stats(ev, ["user_id"], "t", gap=1800, order_tiebreak="event_id")
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector plumbing: dimension + L2 norm (rounded) per embedding."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -775,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": q_quantize_int8,
         "windowed_counts": q_windowed_counts,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sessionize": q_sessionize,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -1350,6 +1392,48 @@ def oracle_sql() -> dict[str, str]:
                    p.p_id AS purchase_id
             FROM clicks c
             ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_join": """
+            WITH pts AS (
+              SELECT event_id AS p_id, user_id,
+                     epoch(date_trunc('second', ts))::BIGINT AS t
+              FROM events WHERE event_type = 'click'
+            ),
+            iv AS (
+              SELECT event_id AS iv_id, user_id,
+                     epoch(date_trunc('second', ts))::BIGINT AS win_start,
+                     epoch(date_trunc('second', ts))::BIGINT + 7200 AS win_end
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p_id, user_id, t, iv_id, win_start, win_end
+            FROM pts JOIN iv USING (user_id)
+            WHERE t BETWEEN win_start AND win_end
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS t, event_id
+              FROM events
+            ),
+            b AS (
+              SELECT user_id, t, event_id,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 1800
+                          THEN 1 ELSE 0 END AS nb
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+            ),
+            s AS (
+              SELECT user_id, t,
+                     sum(nb) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM b
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(t) AS session_start,
+                   max(t) AS session_end,
+                   max(t) - min(t) AS duration
+            FROM s GROUP BY 1, 2
         """,
         "embedding_norms": """
             SELECT vec_id, len(embedding) AS dim,

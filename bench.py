@@ -53,6 +53,8 @@ HEADLINE = [
     "quantize_int8",
     "windowed_counts",
     "asof_join",
+    "range_join",
+    "sessionize",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
