@@ -47,7 +47,9 @@ def interval_join(
 
     ``how='left'`` keeps unmatched points with null interval columns.
     A point matching several intervals yields several rows (standard
-    range-join semantics).
+    range-join semantics). Left mode costs a second pass (an anti-join
+    of points against the matched set) — prefer inner where the
+    unmatched rows aren't needed.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
