@@ -110,9 +110,11 @@ def bench_ingest(spark, n_events: int, num_partitions: int) -> dict:
         # no-prune (11.7-15.0s) — with 32 local threads the stats job
         # parallelizes fully; no-prune only wins in the executor-
         # constrained local-cluster regime (see tools/bench_scaling.py).
-        # Best of 2 trials: the shared sandbox host is noisy.
+        # Best of 3 trials: the shared sandbox host swings with co-tenant
+        # load (same-code runs measured 72-95k ev/s across one day).
+        trials = int(os.environ.get("SPARK_GRAFT_INGEST_TRIALS", "3"))
         dt = float("inf")
-        for _trial in range(2):
+        for _trial in range(trials):
             shutil.rmtree(root, ignore_errors=True)
             t0 = time.time()
             ingest(spark, events, root, n_events, n_epochs=4, parse_mode="native",
