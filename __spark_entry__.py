@@ -631,6 +631,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize plan (multimodal verb list: decode / features /
+    RESIZE / frame-sample) in fake plumbing mode — hash-derived dims
+    clamped to max_dim, payload passthrough — so the oracle replicates
+    the exact math; the REAL nearest-neighbor PNG resize is golden-
+    tested in tests/test_multimodal.py (no PNG corpus in testdata)."""
+    from kafka_connect_converter_json_spark.operators.multimodal import resize_media
+
+    out = resize_media(_media_from_docs(spark, sf_dir), max_dim=64, fake=True)
+    return out.select("media_id", "width", "height", "n_bytes")
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k (the coarse-quantizer scale path): codebook =
     8 hash-sampled corpus vectors, nprobe=3, exact cosine re-rank within
@@ -811,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "resize_thumbs": q_resize_thumbs,
         "ann_ivf": q_ann_ivf,
         "quantize_int8": q_quantize_int8,
         "windowed_counts": q_windowed_counts,
@@ -1302,6 +1315,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id,
                    unnest(range(0, greatest((1 + hv % 300)::BIGINT - 1, 0) + 1, 30)) AS frame_idx
+            FROM h
+        """,
+        "resize_thumbs": """
+            WITH m AS (
+              SELECT doc_id AS media_id, encode(text) AS payload
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            h AS (
+              SELECT media_id, octet_length(payload) AS n_bytes,
+                     ('0x' || rpad(substr(hex(payload), 1, 16), 16, '0'))::UBIGINT AS hv
+              FROM m
+            )
+            SELECT media_id,
+                   least((16 + hv % 1024)::INT, 64) AS width,
+                   least((16 + (hv >> 10) % 1024)::INT, 64) AS height,
+                   n_bytes::BIGINT AS n_bytes
             FROM h
         """,
         "ann_ivf": """

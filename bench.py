@@ -55,6 +55,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "sessionize",
+    "resize_thumbs",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))

@@ -65,13 +65,12 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes, feature_dim: int = 8) -> dict:
-    """Real (pure-stdlib) PNG decode: IHDR parse, zlib-inflate of IDAT,
-    per-scanline unfiltering (filters 0-4, numpy per row), features =
-    L1-normalized ``feature_dim``-bin histogram of the decoded pixel
-    bytes. Supports 8-bit gray/RGB/gray+A/RGBA, no interlace — the
-    golden-file subset; anything else raises ValueError (a production
-    cluster swaps in libvips/PIL at exactly this seam)."""
+def png_pixels(payload: bytes):
+    """Real (pure-stdlib) PNG decode to pixels: IHDR parse, zlib-inflate
+    of IDAT, per-scanline unfiltering (filters 0-4, numpy per row).
+    Returns a (height, width, channels) uint8 array. Supports 8-bit
+    gray/RGB/gray+A/RGBA, no interlace; anything else raises ValueError
+    (a production cluster swaps in libvips/PIL at exactly this seam)."""
     import struct as st
     import zlib
 
@@ -131,10 +130,44 @@ def decode_png(payload: bytes, feature_dim: int = 8) -> dict:
                     raise ValueError(f"PNG filter {f}")
         out[y] = cur
         prev = cur.astype(np.int64)
-    hist, _ = np.histogram(out, bins=feature_dim, range=(0, 256))
-    feats = (hist / max(1, out.size)).astype(float).tolist()
-    return {"width": int(width), "height": int(height), "n_frames": 1,
-            "features": feats}
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes, feature_dim: int = 8) -> dict:
+    """PNG decode + features: L1-normalized ``feature_dim``-bin histogram
+    of the decoded pixel bytes (see ``png_pixels`` for the decoder)."""
+    import numpy as np
+
+    px = png_pixels(payload)
+    hist, _ = np.histogram(px, bins=feature_dim, range=(0, 256))
+    feats = (hist / max(1, px.size)).astype(float).tolist()
+    return {"width": int(px.shape[1]), "height": int(px.shape[0]),
+            "n_frames": 1, "features": feats}
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal PNG encoder (filter-0 scanlines, one zlib IDAT) for
+    resized output — valid, widely readable, not size-optimal."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return st.pack(">I", len(body)) + ctype + body + st.pack(
+            ">I", zlib.crc32(ctype + body))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * ch)], axis=1
+    ).tobytes()
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
 
 def decode_wav(payload: bytes, feature_dim: int = 8) -> dict:
@@ -289,6 +322,78 @@ def decode_features(
         "_size_bucket", F.floor(F.log2(F.greatest(F.length(payload_col), F.lit(1))))
     ).repartition("_size_bucket")
     return bucketed.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_pixels(px, max_dim: int):
+    """Deterministic nearest-neighbor downsample so max(h, w) <= max_dim
+    (no-op when already within bounds). Pure numpy index gather."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    scale = max(h, w) / max_dim
+    if scale <= 1:
+        return px
+    nh, nw = max(1, int(h / scale)), max(1, int(w / scale))
+    ys = np.floor(np.arange(nh) * h / nh).astype(np.int64)
+    xs = np.floor(np.arange(nw) * w / nw).astype(np.int64)
+    return px[ys][:, xs]
+
+
+def resize_media(
+    df: DataFrame, max_dim: int = 64, payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Thumbnail plan over image rows: decode -> nearest-neighbor
+    downsample to fit ``max_dim`` -> re-encode PNG, through the same
+    Arrow-batched mapInPandas seam as ``decode_features`` (size-class
+    partitioning included — one giant image must not straggle a task of
+    icons). Real path handles PNG via the pure-stdlib codec; other image
+    formats raise at the codec seam. ``fake=True`` emits hash-derived
+    dims with the payload passed through (plumbing mode for non-PNG test
+    corpora)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(lambda b: b"" if b is None else bytes(b))
+            if fake:
+                dims = payloads.map(lambda p: _fake_decode(p, "image"))
+                out_payload = payloads
+                width = dims.map(lambda d: min(d["width"], max_dim))
+                height = dims.map(lambda d: min(d["height"], max_dim))
+            else:
+                def _one(p: bytes):
+                    px = resize_pixels(png_pixels(p), max_dim)
+                    return px.shape[0], px.shape[1], encode_png(px)
+
+                trip = payloads.map(_one)
+                height = trip.map(lambda t: t[0])
+                width = trip.map(lambda t: t[1])
+                out_payload = trip.map(lambda t: t[2])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": out_payload.map(len),
+                    "payload": out_payload,
+                }
+            )
+
+    images = df.filter(F.col("kind") == "image")
+    bucketed = images.withColumn(
+        "_size_bucket", F.floor(F.log2(F.greatest(F.length(payload_col), F.lit(1))))
+    ).repartition("_size_bucket")
+    return bucketed.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:

@@ -152,3 +152,40 @@ def test_vectorized_fake_matches_scalar_reference(media):
             want["width"], want["height"], want["n_frames"])
         assert r.sha256 == hashlib.sha256(payload).hexdigest()
         assert r.n_bytes == len(payload)
+
+
+def test_encode_png_round_trip_and_resize_exact():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    assert np.array_equal(mm.png_pixels(mm.encode_png(px)), px)
+    # nearest-neighbor resize: exact index-gather semantics
+    small = mm.resize_pixels(px, 7)
+    assert small.shape == (5, 7, 3)
+    ys = np.floor(np.arange(5) * 10 / 5).astype(int)
+    xs = np.floor(np.arange(7) * 14 / 7).astype(int)
+    assert np.array_equal(small, px[ys][:, xs])
+    # within-bounds no-op
+    assert mm.resize_pixels(px, 14) is px
+
+
+def test_resize_media_through_spark(spark):
+    rng = np.random.RandomState(9)
+    big = _encode_png(rng.randint(0, 256, size=(40, 60, 3), dtype=np.uint8), [0, 2, 4])
+    tiny = _encode_png(rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8), [1])
+    df = spark.createDataFrame(
+        [(1, "image", None, bytearray(big)), (2, "image", None, bytearray(tiny)),
+         (3, "audio", None, bytearray(b"RIFFxxxx"))],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.resize_media(df, max_dim=16).collect()}
+    assert set(rows) == {1, 2}  # audio filtered out
+    assert (rows[1].width, rows[1].height) == (16, 10)  # 60x40 -> 16x10
+    assert (rows[2].width, rows[2].height) == (4, 4)    # already small
+    # output payloads are valid PNGs decodable to the reported dims
+    for mid in (1, 2):
+        px = mm.png_pixels(bytes(rows[mid].payload))
+        assert px.shape[:2] == (rows[mid].height, rows[mid].width)
+    # thumbnail pixels are the exact nearest-neighbor gather of the source
+    src = mm.png_pixels(big)
+    assert np.array_equal(mm.png_pixels(bytes(rows[1].payload)),
+                          mm.resize_pixels(src, 16))
