@@ -767,6 +767,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, ["user_id"], "t", gap=1800, order_tiebreak="event_id")
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (sort-based `percentile`, linear
+    interpolation — deterministic, unlike approx sketches): the
+    monitoring aggregate a CDC pipeline reports per event class.
+    Oracle: DuckDB quantile_cont, the same interpolation definition."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector plumbing: dimension + L2 norm (rounded) per embedding."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -830,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
+        "percentiles": q_percentiles,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -1463,6 +1478,14 @@ def oracle_sql() -> dict[str, str]:
                    max(t) AS session_end,
                    max(t) - min(t) AS duration
             FROM s GROUP BY 1, 2
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
         """,
         "embedding_norms": """
             SELECT vec_id, len(embedding) AS dim,

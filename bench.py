@@ -56,6 +56,7 @@ HEADLINE = [
     "range_join",
     "sessionize",
     "resize_thumbs",
+    "percentiles",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
