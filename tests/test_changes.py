@@ -104,3 +104,33 @@ def test_sort_within_buckets_clusters_files(spark, tmp_path):
         assert ks == sorted(ks), f
     # state unaffected by the clustering
     assert sink.read().count() == 60
+
+
+def test_changelog_maintains_downstream_aggregate(spark, tmp_path):
+    """The medallion pattern: a downstream per-key-prefix aggregate
+    maintained ONLY from read_changes deltas must equal recomputing it
+    from the full table at every epoch — proof the changelog carries
+    sufficient information (inserts, post-images, deletes with
+    pre-image payloads)."""
+    sink = _sink(spark, tmp_path)
+    epochs = [
+        [("a1", 1, "u", "x"), ("a2", 2, "u", "y"), ("b1", 3, "u", "z")],
+        [("a1", 4, "u", "x2"), ("b2", 5, "u", "w")],   # update + insert
+        [("a2", 6, "d", None), ("b1", 7, "u", "z2")],  # delete + update
+    ]
+    # downstream state: prefix -> row count (letter of k = the "repo")
+    downstream: dict = {}
+    for e, batch in enumerate(epochs):
+        sink.merge(_batch(spark, batch), epoch=e)
+        changes = sink.read_changes(e, from_epoch=e - 1 if e else None)
+        for r in changes.collect():
+            pfx = r.k[0]
+            if r._change_type == "insert":
+                downstream[pfx] = downstream.get(pfx, 0) + 1
+            elif r._change_type == "delete":
+                downstream[pfx] -= 1
+        # ground truth from the full table
+        truth: dict = {}
+        for r in sink.read().select("k").collect():
+            truth[r.k[0]] = truth.get(r.k[0], 0) + 1
+        assert {k: v for k, v in downstream.items() if v} == truth, f"epoch {e}"
