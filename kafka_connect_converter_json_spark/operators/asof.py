@@ -49,6 +49,10 @@ def asof_join(
     without it, equal-time right duplicates are resolved arbitrarily, so
     pass one when the right side can carry same-instant versions.
     """
+    reserved = {"_t", "_side", "_tie", "_p", "_l", "_m"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"input columns collide with internal names: {sorted(clash)}")
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_time
     ]

@@ -53,6 +53,8 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if "_chunk" in points.columns or "_chunk" in intervals.columns:
+        raise ValueError("input columns collide with internal name '_chunk'")
     shared = [c for c in points.columns if c in set(intervals.columns)]
     if sorted(shared) != sorted(keys):
         raise ValueError(
