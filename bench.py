@@ -235,6 +235,37 @@ def bench_avro(spark, n_events: int) -> dict:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def _run_section(section: str, sf_dir: str, cpus: str) -> dict:
+    """Execute one bench section in THIS process and return its dict."""
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    if section == "queries":
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        # warm the session (codegen, parquet footers) so query 1 isn't
+        # charged for JVM startup
+        for w in ("case_fold", "token_count"):
+            try:
+                time_query(qs[w], spark, sf_dir)
+            except Exception:  # noqa: BLE001
+                pass
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            times[name] = round(
+                min(time_query(qs[name], spark, sf_dir) for _ in range(QUERY_REPEATS)),
+                3,
+            )
+        return {"queries": times}
+    if section == "ingest":
+        return bench_ingest(spark, INGEST_EVENTS, int(cpus) * 2)
+    if section == "avro":
+        return bench_avro(spark, AVRO_EVENTS)
+    raise ValueError(f"unknown section {section!r}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -244,31 +275,36 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    spark = build_spark(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    section = os.environ.get("SPARK_GRAFT_BENCH_SECTION")
+    if section:  # child mode: one section, fresh JVM, one JSON line
+        print(json.dumps(_run_section(section, sf_dir, cpus)))
+        return
 
-    import __spark_entry__ as entrymod
+    # Each section runs in its own subprocess = its own JVM. Measured:
+    # a single long-lived local JVM ages (70+ jobs of heap churn) and
+    # drags the allocation-heavy Arrow/Python sections from ~1.0M ev/s
+    # (fresh session) to ~230k by the time the avro section runs; fresh
+    # JVMs make every section's number the one an isolated run gets,
+    # which is also what a real cluster (long-lived executors, one
+    # workload) sees.
+    import subprocess
 
-    qs = entrymod.queries()
-    # warm the session (codegen, parquet footers) so query 1 isn't charged
-    # for JVM startup
-    for w in ("case_fold", "token_count"):
-        try:
-            time_query(qs[w], spark, sf_dir)
-        except Exception:  # noqa: BLE001
-            pass
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        times[name] = round(
-            min(time_query(qs[name], spark, sf_dir) for _ in range(QUERY_REPEATS)),
-            3,
+    merged: dict = {}
+    for sec in ("queries", "ingest", "avro"):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_SECTION=sec)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=False,
         )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        try:
+            merged.update(json.loads(line))
+        except json.JSONDecodeError:
+            sys.stderr.write(f"section {sec} produced no JSON; stderr tail:\n")
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            raise
 
-    ingest_stats = bench_ingest(spark, INGEST_EVENTS, int(cpus) * 2)
-    ingest_stats.update(bench_avro(spark, AVRO_EVENTS))
-
+    times = merged.pop("queries", {})
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline-suite seconds + CDC ingest events/sec (exactly-once MERGE sink)",
@@ -278,7 +314,7 @@ def main() -> None:
         "sf": sf_val,
         "cpus": int(cpus),
         "query_repeats": QUERY_REPEATS,
-        **ingest_stats,
+        **merged,
     }
     print(json.dumps(out))
 
