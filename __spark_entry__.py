@@ -794,6 +794,63 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs -> connected
+    components (iterative min-label propagation with pointer jumping) ->
+    per-doc cluster id, size, and representative flag. The oracle computes
+    the identical fixpoint independently via a recursive CTE."""
+    from kafka_connect_converter_json_spark.operators.graph import duplicate_clusters
+    from kafka_connect_converter_json_spark.operators.textdedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        _docs_with_dups(spark, sf_dir), n=3, num_hashes=6, bands=2, max_band_freq=1000
+    )
+    out = duplicate_clusters(pairs)
+    return out.select(
+        "doc_id", "cluster", "cluster_size",
+        F.col("is_representative").cast("int").alias("is_rep"),
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf * ln(N/df), 6dp, deterministic
+    tiebreak by term)."""
+    from kafka_connect_converter_json_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams by occurrence count (TakeOrdered top-k —
+    no global sort; deterministic boundary tiebreak by the ngram string)."""
+    from kafka_connect_converter_json_spark.operators.textdedup import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate 15-token spans across distinct documents (the
+    token-window form of substring dedup) over the dup-injected corpus."""
+    from kafka_connect_converter_json_spark.operators.textdedup import duplicate_spans
+
+    return duplicate_spans(_docs_with_dups(spark, sf_dir), n=15, min_docs=2)
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/test assignment: pure
+    md5-hash decisions (partitioning-independent, engine-portable)."""
+    from kafka_connect_converter_json_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = hash_sample(
+        d, strata_col="lang", fractions={"en": 0.5, "de": 0.25}, default=0.75
+    )
+    return train_test_split(kept, test_fraction=0.1).select("doc_id", "lang", "split")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -846,6 +903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "percentiles": q_percentiles,
         "embedding_norms": q_embedding_norms,
+        "dup_clusters": q_dup_clusters,
+        "tfidf_topk": q_tfidf_topk,
+        "top_ngrams": q_top_ngrams,
+        "dup_spans": q_dup_spans,
+        "sample_split": q_sample_split,
     }
 
 
@@ -914,6 +976,31 @@ def _jaccard_sql(cut: int | None, threshold: float) -> str:
         JOIN sizes sb ON sb.id = id_b
         WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
     """
+
+
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in ``mpairs(id_a, id_b)`` — the MinHash-LSH
+    candidate pairs over the dup-injected corpus (the formulas of the
+    ``minhash_lsh_pairs`` contract query; reused as the edge set of the
+    ``dup_clusters`` recursive-CTE oracle)."""
+    return f"""docs AS ({_dup_union_sql()}),
+            {_shingle_cte('docs')},
+            sig AS (
+              SELECT id,
+                     {", ".join(f"min(substr(md5(shingle), {1 + 5 * i}, 5)) AS h{i}" for i in range(6))}
+              FROM sh GROUP BY id
+            ),
+            banded AS (
+              SELECT id, unnest(['0|' || h0 || '|' || h1 || '|' || h2,
+                                 '1|' || h3 || '|' || h4 || '|' || h5]) AS band
+              FROM sig
+            ),
+            rareb AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+            bandedc AS (SELECT banded.* FROM banded JOIN rareb USING (band)),
+            mpairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bandedc a JOIN bandedc b ON a.band = b.band AND a.id < b.id
+            )"""
 
 
 def _simhash_cte(src: str) -> str:
@@ -1133,22 +1220,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sh GROUP BY id
         """,
         "minhash_lsh_pairs": f"""
-            WITH docs AS ({_dup_union_sql()}),
-            {_shingle_cte('docs')},
-            sig AS (
-              SELECT id,
-                     {", ".join(f"min(substr(md5(shingle), {1 + 5 * i}, 5)) AS h{i}" for i in range(6))}
-              FROM sh GROUP BY id
-            ),
-            banded AS (
-              SELECT id, unnest(['0|' || h0 || '|' || h1 || '|' || h2,
-                                 '1|' || h3 || '|' || h4 || '|' || h5]) AS band
-              FROM sig
-            ),
-            rareb AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
-            bandedc AS (SELECT banded.* FROM banded JOIN rareb USING (band))
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bandedc a JOIN bandedc b ON a.band = b.band AND a.id < b.id
+            WITH {_minhash_pairs_ctes()}
+            SELECT id_a, id_b FROM mpairs
         """,
         "simhash": f"""
             WITH {_simhash_cte('documents')}
@@ -1493,5 +1566,93 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                      'sum')), 4) AS l2_norm
             FROM embeddings
+        """,
+        # connected components as an INDEPENDENT fixpoint computation: a
+        # recursive CTE closing the reachability relation, vs the engine's
+        # iterative label propagation — same unique fixpoint, different
+        # algorithm (the strongest form of oracle).
+        "dup_clusters": f"""
+            WITH RECURSIVE {_minhash_pairs_ctes()},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM mpairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM mpairs
+            ),
+            reach(id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+            ),
+            comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+            csizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+            SELECT comp.id AS doc_id, comp.cluster, csizes.cluster_size,
+                   CAST(comp.id = comp.cluster AS INT) AS is_rep
+            FROM comp JOIN csizes USING (cluster)
+        """,
+        "tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf,
+                     round(tf * ln(n_docs / df), 6) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(tf * ln(n_docs / df), 6) DESC, term
+                     ) AS rank
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, tfidf, rank FROM scored WHERE rank <= 3
+        """,
+        "top_ngrams": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, string_split({_NORM.format(c='text')}, ' ') AS t
+              FROM documents
+            ),
+            sh2 AS (
+              SELECT id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                                               i -> array_to_string(t[i:i+1], ' '))) AS ngram
+              FROM toks WHERE len(t) >= 2
+            )
+            SELECT ngram, count(*) AS freq
+            FROM sh2 GROUP BY ngram
+            ORDER BY freq DESC, ngram LIMIT 20
+        """,
+        "dup_spans": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            toks AS (
+              SELECT doc_id AS id, string_split({_NORM.format(c='text')}, ' ') AS t
+              FROM docs
+            ),
+            spans AS (
+              SELECT id, unnest(list_distinct(
+                       list_transform(range(1, greatest(len(t) - 13, 1)),
+                                      i -> array_to_string(t[i:i+14], ' ')))) AS span
+              FROM toks WHERE len(t) >= 15
+            ),
+            spanh AS (
+              SELECT id, (('0x' || substr(md5(span), 1, 15))::UBIGINT)::BIGINT AS span_fp
+              FROM spans
+            )
+            SELECT span_fp, count(*) AS n_docs, min(id) AS representative
+            FROM spanh GROUP BY span_fp HAVING count(*) >= 2
+        """,
+        "sample_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN ('0x' || substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                             < 0.1 * 4294967296.0
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+            WHERE ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  < (CASE WHEN lang = 'de' THEN 0.25
+                          WHEN lang = 'en' THEN 0.5
+                          ELSE 0.75 END) * 4294967296.0
         """,
     }

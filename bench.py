@@ -57,6 +57,13 @@ HEADLINE = [
     "sessionize",
     "resize_thumbs",
     "percentiles",
+    # added in round 3 (all oracled): near-dup clustering (connected
+    # components), corpus stats, span dedup, deterministic sampling
+    "dup_clusters",
+    "tfidf_topk",
+    "top_ngrams",
+    "dup_spans",
+    "sample_split",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))

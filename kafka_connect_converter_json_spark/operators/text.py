@@ -124,3 +124,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.array_min(windows).alias("winnow_fp"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: ``(doc_id, term, tf, tfidf, rank)``.
+
+    tfidf = tf * ln(N / df) rounded to 6dp (plain raw-count tf, unsmoothed
+    idf — the textbook formula, reproducible in any SQL engine). Rank
+    orders by score desc then term asc (deterministic under ties).
+
+    Plan shape: explode -> (doc, term) count [one shuffle, map-side
+    partial] -> document-frequency count keyed by term [second shuffle,
+    vocabulary-sized — Zipf-concentrated, so partial aggregation absorbs
+    almost everything map-side] -> join tf with df on term (sort-merge;
+    the vocabulary is NOT broadcast — at corpus scale it can exceed any
+    broadcast threshold) -> per-doc top-k window. N arrives as a
+    broadcast 1-row aggregate, never a driver collect."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "tfidf", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )

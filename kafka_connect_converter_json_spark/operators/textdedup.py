@@ -387,3 +387,61 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level n-gram frequency top-k: ``(ngram, freq)``.
+
+    One explode + one map-side-combined count keyed by the n-gram, then
+    a distributed top-k (``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject: each partition keeps only its local top-k, the
+    driver merges k-sized heaps — no global sort, no single-partition
+    window). Ties at the boundary break deterministically by the n-gram
+    string, so the result set is engine-portable."""
+    sh = shingle_table(df, text_col, id_col, n=n, dedupe=False)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate token-window detection across documents — the
+    token-window approximation of substring dedup (the suffix-array
+    family of "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): any n-token span appearing verbatim in >= min_docs
+    distinct documents is a contaminated/duplicated span.
+
+    ``(span_fp, n_docs, representative)`` per offending span. Spans are
+    deduped per document inside the projection (``array_distinct`` —
+    exactly global (id, span) distinct with zero extra shuffle, see
+    ``shingle_table``), so the single count IS the document frequency.
+    The span string never shuffles: the 60-bit md5 prefix
+    (``conv(substr(md5, 1, 15), 16, 10)`` — engine-portable) is the
+    8-byte group key."""
+    sh = shingle_table(df, text_col, id_col, n=n, dedupe=True)
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("span_fp"),
+    )
+    return (
+        hashed.groupBy("span_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("representative"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -157,13 +157,14 @@ def main() -> None:
     epochs = int(os.environ.get("SPARK_GRAFT_SCALE_EPOCHS", "4"))
     w_lo = int(os.environ.get("SPARK_GRAFT_SCALE_WORKERS", "1"))
     cpw = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_PER_WORKER", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
     w_hi = w_lo * 4
 
     cap_lo, cap_hi = host_capacity(w_lo * cpw), host_capacity(w_hi * cpw)
     host_ratio = cap_hi / cap_lo
 
-    lo = run_at(w_lo, n_events, epochs, cores_per_worker=cpw)
-    hi = run_at(w_hi, n_events, epochs, cores_per_worker=cpw)
+    lo = run_at(w_lo, n_events, epochs, trials=trials, cores_per_worker=cpw)
+    hi = run_at(w_hi, n_events, epochs, trials=trials, cores_per_worker=cpw)
     ratio = hi["events_per_sec"] / lo["events_per_sec"]
     eff = round(ratio / 4, 3)
     eff_norm = round(ratio / host_ratio, 3)

@@ -119,6 +119,36 @@ def main() -> None:
         ["Union", "Window"],
     ))
 
+    # 8. TF-IDF: both counts must partial-aggregate map-side. The
+    # vocabulary join is left to Catalyst's size estimate: at small SF it
+    # broadcasts (vocab fits under the threshold — correct), at corpus
+    # scale the estimate exceeds the threshold and it degrades to
+    # sort-merge on the term key; the operator pins NEITHER (no
+    # broadcast() hint on a side that can outgrow executor memory).
+    plan8 = formatted(em.q_tfidf_topk(spark, sf_dir))
+    sections.append((
+        "TF-IDF top-k (partial counts, size-adaptive vocabulary join)",
+        plan8,
+        ["partial_count", "Join"],
+    ))
+
+    # 9. duplicate spans: the group key must be the 60-bit hashed span
+    # (span text never shuffles) with a map-side partial count
+    plan9 = formatted(em.q_dup_spans(spark, sf_dir))
+    sections.append((
+        "Duplicate spans (hashed 60-bit keys, partial aggregate)",
+        plan9,
+        ["partial_count", "hashpartitioning(span_fp"],
+    ))
+
+    # 10. deterministic sampling: pure filter — no Exchange anywhere
+    plan10 = formatted(em.q_sample_split(spark, sf_dir))
+    sections.append((
+        "Deterministic stratified sample + split (zero shuffle)",
+        plan10,
+        [],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -149,6 +179,10 @@ def main() -> None:
                        "BroadcastNestedLoopJoin", "CartesianProduct")
     )
     checks.append(("As-of join", "no join operator (union-window form)", no_join))
+    checks.append((
+        "Deterministic sampling", "no Exchange (pure pushed filter)",
+        "Exchange" not in plan10,
+    ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n\n")
