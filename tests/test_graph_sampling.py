@@ -152,3 +152,33 @@ def test_hash_sample_fractions_requires_strata(spark):
     d = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         hash_sample(d, fractions={"en": 0.5})
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    # independent oracle: path-compressed union-find over the same edges
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        nodes = {u for e in edges for u in e}
+        expected = {}
+        for u in nodes:
+            root = find(u)
+            expected[u] = min(v for v in nodes if find(v) == root)
+        got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+        assert got == expected, f"seed {seed}"
