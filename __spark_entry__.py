@@ -978,6 +978,16 @@ def _jaccard_sql(cut: int | None, threshold: float) -> str:
     """
 
 
+def _span_fold_sql(base: int, mod: int, n: int) -> str:
+    """Unrolled dual-safe polynomial fold over the token-hash list ``h``
+    at window start ``i`` — the identical arithmetic the engine runs
+    (every intermediate < 2^52: no 64-bit overflow in either engine)."""
+    expr = "0"
+    for j in range(n):
+        expr = f"(({expr}) * {base} + h[i+{j}] % {mod}) % {mod}"
+    return expr
+
+
 def _minhash_pairs_ctes() -> str:
     """CTE chain ending in ``mpairs(id_a, id_b)`` — the MinHash-LSH
     candidate pairs over the dup-injected corpus (the formulas of the
@@ -1631,18 +1641,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS id, string_split({_NORM.format(c='text')}, ' ') AS t
               FROM docs
             ),
+            th AS (
+              SELECT id,
+                     list_transform(t, x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT) AS h,
+                     len(t) AS nt
+              FROM toks
+            ),
             spans AS (
               SELECT id, unnest(list_distinct(
-                       list_transform(range(1, greatest(len(t) - 13, 1)),
-                                      i -> array_to_string(t[i:i+14], ' ')))) AS span
-              FROM toks WHERE len(t) >= 15
-            ),
-            spanh AS (
-              SELECT id, (('0x' || substr(md5(span), 1, 15))::UBIGINT)::BIGINT AS span_fp
-              FROM spans
+                       list_transform(range(1, greatest(nt - 13, 1)),
+                                      i -> ({_span_fold_sql(1000003, 2147483647, 15)}) * 2147483648
+                                           + ({_span_fold_sql(999983, 2147483629, 15)})))) AS span_fp
+              FROM th WHERE nt >= 15
             )
             SELECT span_fp, count(*) AS n_docs, min(id) AS representative
-            FROM spanh GROUP BY span_fp HAVING count(*) >= 2
+            FROM spans GROUP BY span_fp HAVING count(*) >= 2
         """,
         "sample_split": """
             SELECT doc_id, lang,
