@@ -339,3 +339,90 @@ def ingest(
         if fail_after_epochs is not None and done >= fail_after_epochs:
             raise RuntimeError(f"injected crash after {done} epochs (test hook)")
     return sink
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    sink_root: str,
+    repair,
+    config: ConverterConfig | None = None,
+    registry: SchemaRegistry | None = None,
+) -> dict:
+    """Repair-and-replay the dead-letter channel (the operational closure
+    of O19): read every not-yet-consumed quarantine directory, apply the
+    caller's ``repair`` (DataFrame -> DataFrame over the raw
+    ``value_json``/``key_json`` columns), re-convert, MERGE the repaired
+    rows as a new epoch, and re-quarantine rows that remain corrupt.
+
+    Correct under LWW by construction: rows keep their original ``lsn``
+    and the sink's merge re-runs max-by-lsn against the live table, so a
+    repaired STALE update can never clobber a newer good version — no
+    special-casing needed.
+
+    Exactly-once: consumed quarantine directories are recorded in the
+    manifest ``meta`` committed atomically WITH the replay epoch, so a
+    crash before commit re-runs the whole replay (idempotent) and a crash
+    after commit skips the already-consumed directories. Still-corrupt
+    rows are written to ``quarantine/replay-e{epoch}`` BEFORE the commit
+    (same ordering as the main path) and are themselves replayable.
+    """
+    config = config or default_config()
+    sink = BucketedMergeSink.open(spark, sink_root)
+
+    qroot = os.path.join(sink_root, "quarantine")
+    consumed = set(sink.meta().get("quarantine_replayed", []))
+    pending = sorted(
+        d for d in (os.listdir(qroot) if os.path.isdir(qroot) else [])
+        if d not in consumed
+    )
+    if not pending:
+        return {"replayed": 0, "still_corrupt": 0, "epoch": None, "consumed": []}
+
+    raw = spark.read.parquet(*[os.path.join(qroot, d) for d in pending]).select(
+        "lsn", "op", "value_json", "key_json", "kafka_partition", "kafka_offset"
+    )
+    repaired = repair(raw)
+
+    # registry: resume from the committed snapshot, then observe the
+    # repaired envelopes (a repair may reveal fields the corrupt form hid)
+    registry = registry or SchemaRegistry()
+    stored = sink.meta().get("registry")
+    if stored:
+        for name, st in SchemaRegistry.from_json(stored).items():
+            registry.observe(name, st)
+    for s in observe_envelope_samples(repaired, "value_json", "lsn"):
+        try:
+            registry.observe("SourceChange", infer_envelope_schema_from_sample(spark, s))
+        except Exception:  # noqa: BLE001 — still-corrupt sample: skip
+            continue
+    env_schema = registry.get("SourceChange")
+    if env_schema is None:
+        raise ValueError("no parseable envelope among repaired rows and no registry state")
+
+    typed = convert_events(repaired, config, "native", env_schema, include_raw=True)
+    epoch = max(sink.committed_epochs(), default=-1) + 1
+
+    bad = typed.filter(F.col("_corrupt")).drop("_corrupt")
+    qdir = os.path.join(qroot, f"replay-e{epoch:06d}")
+    if os.path.exists(qdir):  # orphan from a crashed attempt
+        shutil.rmtree(qdir)
+    bad.write.parquet(qdir)
+    still_corrupt = spark.read.parquet(qdir).count()
+    if still_corrupt == 0:
+        shutil.rmtree(qdir)  # nothing left dead-lettered: no empty pending dir
+
+    good = typed.filter(~F.col("_corrupt")).drop("_corrupt", "value_json", "key_json")
+    stats = sink.merge(
+        good, epoch,
+        meta={
+            "registry": registry.to_json(),
+            "quarantine_replayed": sorted(consumed | set(pending)),
+        },
+    )
+    replayed = sum(r["n_events"] for r in stats.get("lineage", []))
+    return {
+        "replayed": replayed,
+        "still_corrupt": still_corrupt,
+        "epoch": epoch,
+        "consumed": pending,
+    }
