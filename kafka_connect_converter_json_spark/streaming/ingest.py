@@ -378,8 +378,14 @@ def replay_quarantine(
     if not pending:
         return {"replayed": 0, "still_corrupt": 0, "epoch": None, "consumed": []}
 
-    raw = spark.read.parquet(*[os.path.join(qroot, d) for d in pending]).select(
-        "lsn", "op", "value_json", "key_json", "kafka_partition", "kafka_offset"
+    raw = (
+        spark.read.parquet(*[os.path.join(qroot, d) for d in pending])
+        .select("lsn", "op", "value_json", "key_json", "kafka_partition", "kafka_offset")
+        # a crash between the replay-quarantine write and the epoch commit
+        # leaves an orphan replay-e* dir whose rows overlap the (still
+        # unconsumed) source dirs; lsn is the unique event id, so one
+        # dedup restores exactly-once input regardless of crash point
+        .dropDuplicates(["lsn"])
     )
     repaired = repair(raw)
 
