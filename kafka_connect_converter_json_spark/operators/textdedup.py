@@ -267,13 +267,17 @@ def band_frequency_cut(banded: DataFrame, band_col: str, max_band_freq: int | No
     near-dups co-occur in several bands."""
     if max_band_freq is None:
         return banded
-    rare = (
+    # broadcast the cut's COMPLEMENT: hot bands number at most
+    # rows/max_band_freq (a handful of degenerate keys by construction),
+    # so the anti-filter is map-side and the banded table shuffles once,
+    # not twice (the same inversion as ngram_jaccard's shingle cut)
+    hot = (
         banded.groupBy(band_col)
         .agg(F.count(F.lit(1)).alias("_bf"))
-        .filter(F.col("_bf") <= max_band_freq)
+        .filter(F.col("_bf") > max_band_freq)
         .select(band_col)
     )
-    return banded.join(rare, band_col)
+    return banded.join(F.broadcast(hot), band_col, "left_anti")
 
 
 def minhash_lsh_candidates(
