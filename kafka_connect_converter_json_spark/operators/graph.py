@@ -84,8 +84,12 @@ def connected_components(
         )
         lab = upd
         if changed == 0:
-            break
-    return lab
+            return lab
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(components deeper than ~2^max_iters hops?); raise max_iters — "
+        "silently returning partial labels would corrupt downstream dedup"
+    )
 
 
 def duplicate_clusters(
