@@ -71,7 +71,7 @@ INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
 # r2's driver bench ran each query once and recorded host noise as
 # regressions (VERDICT r2 #2/#5). Conditions pinned below: shuffle
 # partitions = max(8, cpus), AQE on, UTC, 48g driver.
-QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
 
 
 def build_spark(cpus: str):
