@@ -836,6 +836,40 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs_with_dups(spark, sf_dir), n=15, min_docs=2)
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction — the operators COMPOSED, the way a
+    real training-data pipeline chains them: exact-dedup kill list ->
+    language-ID filter -> quality threshold (binding at 0.9) ->
+    deterministic hash downsample. One oracled query proves the family
+    composes without column/semantic mismatches."""
+    from kafka_connect_converter_json_spark.operators.sampling import hash_sample
+    from kafka_connect_converter_json_spark.operators.text import (
+        lang_id as lang_id_fn,
+        normalize_text,
+        quality_score,
+    )
+    from kafka_connect_converter_json_spark.operators.textdedup import exact_duplicates
+
+    d = _docs_with_dups(spark, sf_dir)
+    dups = exact_duplicates(d)
+    fps = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    kill = (
+        fps.join(dups, "fp")
+        .filter(F.col("doc_id") != F.col("representative"))
+        .select("doc_id")
+    )
+    survivors = d.join(kill, "doc_id", "left_anti")
+    q = quality_score(survivors).select("doc_id", "quality")
+    labeled = survivors.select("doc_id", lang_id_fn(F.col("text")).alias("lang"))
+    out = (
+        labeled.join(q, "doc_id")
+        .filter((F.col("lang") != "und") & (F.col("quality") >= 0.9))
+    )
+    return hash_sample(out, key_col="doc_id", default=0.5).select(
+        "doc_id", "lang", "quality"
+    )
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling + train/test assignment: pure
     md5-hash decisions (partitioning-independent, engine-portable)."""
@@ -908,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "dup_spans": q_dup_spans,
         "sample_split": q_sample_split,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1667,5 +1702,51 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN lang = 'de' THEN 0.25
                           WHEN lang = 'en' THEN 0.5
                           ELSE 0.75 END) * 4294967296.0
+        """,
+        "corpus_pipeline": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            fp AS (SELECT doc_id, md5({norm_text}) AS fp FROM docs),
+            dups AS (
+              SELECT fp, min(doc_id) AS representative
+              FROM fp GROUP BY fp HAVING count(*) > 1
+            ),
+            kill AS (
+              SELECT doc_id FROM fp JOIN dups USING (fp)
+              WHERE doc_id <> representative
+            ),
+            surv AS (
+              SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM kill)
+            ),
+            feat AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1), 6) AS alpha_ratio,
+                     round(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g'))
+                           / greatest(length(text), 1), 6) AS punct_ratio
+              FROM surv
+            ),
+            q AS (
+              SELECT doc_id,
+                     round(0.4 * alpha_ratio
+                           + 0.3 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                           + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+              FROM feat
+            ),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN {best} = 0 THEN 'und'
+                          WHEN {lang_score['de']} = {best} THEN 'de'
+                          WHEN {lang_score['en']} = {best} THEN 'en'
+                          WHEN {lang_score['es']} = {best} THEN 'es'
+                          ELSE 'fr' END AS lang
+              FROM surv
+            )
+            SELECT l.doc_id, l.lang, q.quality
+            FROM l JOIN q USING (doc_id)
+            WHERE l.lang <> 'und' AND q.quality >= 0.9
+              AND ('0x' || substr(md5('s0:' || CAST(l.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  < 0.5 * 4294967296.0
         """,
     }

@@ -64,6 +64,7 @@ HEADLINE = [
     "top_ngrams",
     "dup_spans",
     "sample_split",
+    "corpus_pipeline",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))
