@@ -182,3 +182,102 @@ def stateful_lww(typed_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: session windows with event-time timers
+# ---------------------------------------------------------------------------
+
+_SESSION_STATE = "start_ms LONG, last_ms LONG, n LONG"
+_SESSION_OUT = (
+    "skey STRING, session_start TIMESTAMP, session_end TIMESTAMP, n_events LONG"
+)
+
+
+def streaming_sessions(
+    typed_stream: DataFrame,
+    key_col: str = "repo",
+    time_col: str = "event_time",
+    gap_seconds: int = 30,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming session windows via ``applyInPandasWithState`` with
+    EVENT-TIME TIMERS — the stateful pattern ``stateful_lww`` (NoTimeout)
+    does not exercise: a per-key open session lives in the state store
+    and CLOSES when the watermark passes ``last_event + gap``, emitting
+    one ``(key, start, end, n_events)`` row. In-batch gap splitting closes
+    older sub-sessions immediately, so a key whose batch spans several
+    sessions emits all but the still-open last one.
+
+    State is O(|keys with an open session|) — bounded by the watermark
+    exactly like windowed aggregation state (the 10^10-event requirement).
+    The batch analogue (same semantics on a static frame) is
+    ``operators.intervals.sessionize`` — gaps-and-islands over a window.
+    """
+    import pandas as pd  # noqa: F401 (re-import for executor pickling)
+
+    gap_ms = gap_seconds * 1000
+
+    def session_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{
+                    "skey": key[0],
+                    "session_start": pd.Timestamp(start_ms, unit="ms"),
+                    "session_end": pd.Timestamp(last_ms, unit="ms"),
+                    "n_events": n,
+                }]
+            )
+            return
+        stamps: list[int] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                stamps.extend(
+                    (pdf[time_col].astype("int64") // 1_000_000).tolist()
+                )
+        if not stamps:
+            return
+        stamps.sort()
+        sessions = [list(state.get)] if state.exists else []
+        for t in stamps:
+            if sessions and t <= sessions[-1][1] + gap_ms:
+                s = sessions[-1]
+                s[0] = min(s[0], t)
+                s[1] = max(s[1], t)
+                s[2] += 1
+            else:
+                sessions.append([t, t, 1])
+        closed, open_s = sessions[:-1], sessions[-1]
+        state.update(tuple(open_s))
+        # the timer must sit strictly beyond the current watermark
+        # (late stragglers can leave last+gap already behind it)
+        state.setTimeoutTimestamp(
+            max(open_s[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "skey": key[0],
+                        "session_start": pd.Timestamp(s[0], unit="ms"),
+                        "session_end": pd.Timestamp(s[1], unit="ms"),
+                        "n_events": s[2],
+                    }
+                    for s in closed
+                ]
+            )
+
+    return (
+        typed_stream.withWatermark(time_col, watermark_delay)
+        .select(key_col, time_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -168,3 +168,106 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     # watermark: no streaming window row carries it, the batch rows do
     assert got.filter(F.col("max_lsn") == 9999).count() == 0
     assert batch_all.filter(F.col("max_lsn") == 9999).count() == 1
+
+
+def test_streaming_sessions_close_on_event_time_timer(spark, tmp_path):
+    """Session windows via applyInPandasWithState + EventTimeTimeout:
+    a session closes (emits) only when the watermark passes last+gap;
+    still-open sessions at drain time emit nothing."""
+    from pyspark.sql import functions as F
+    from kafka_connect_converter_json_spark.streaming.stream import streaming_sessions
+
+    src = tmp_path / "ssrc"
+    schema = "repo string, event_time timestamp"
+    t0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def mk(rows):
+        # one part file per directory: multiple parts share the pinned
+        # mtime and would interleave arbitrarily across micro-batches
+        return spark.createDataFrame(rows, "repo string, secs double").select(
+            "repo", (t0 + F.make_interval(secs=F.col("secs"))).alias("event_time")
+        ).coalesce(1)
+
+    # p0: r0 session [0..10] (3 events), r1 single-event session [2..2]
+    mk([("r0", 0.0), ("r0", 5.0), ("r0", 10.0), ("r1", 2.0)]).write.parquet(
+        str(src / "p0")
+    )
+    # p1: r0 opens a NEW session at 100 (gap 30 from 10); watermark after
+    # this batch = 100 - 10 = 90 > 10+30 and > 2+30
+    mk([("r0", 100.0)]).write.parquet(str(src / "p1"))
+    # p2: dummy key advances processing one more batch so the timers
+    # armed before watermark=90 actually fire
+    mk([("r2", 200.0)]).write.parquet(str(src / "p2"))
+
+    # the file source orders micro-batches by file modification time;
+    # back-to-back writes can collide within the fs timestamp granularity
+    # and flip the batch order (observed flaky) — pin strictly increasing
+    # mtimes so p0 -> p1 -> p2 is deterministic
+    import os as _os, time as _time
+    now = _time.time()
+    for k, d in enumerate(["p0", "p1", "p2"]):
+        for f in (src / d).iterdir():
+            _os.utime(f, (now - 300 + 100 * k, now - 300 + 100 * k))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out_dir, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    q = (
+        streaming_sessions(stream, gap_seconds=30, watermark_delay="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.skey, r.session_start.second + 60 * r.session_start.minute,
+         r.session_end.second + 60 * r.session_end.minute, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # closed: r0 [0,10]x3, r1 [2,2]x1 (timers armed at 40/32 fire once
+    # the watermark passes), and r0 [100,100]x1 (the final availableNow
+    # batch advances the watermark to 200-10=190 > 100+30). r2@200 keeps
+    # its open session: its timer (230) sits beyond the final watermark.
+    assert got == {("r0", 0, 10, 3), ("r1", 2, 2, 1), ("r0", 100, 100, 1)}
+    assert ("r2", 200, 200, 1) not in got
+
+
+def test_streaming_sessions_in_batch_split(spark, tmp_path):
+    """A key whose single micro-batch spans several sessions emits all
+    but the last immediately (in-batch gap splitting)."""
+    from pyspark.sql import functions as F
+    from kafka_connect_converter_json_spark.streaming.stream import streaming_sessions
+
+    src = tmp_path / "bsrc"
+    schema = "repo string, event_time timestamp"
+    t0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    spark.createDataFrame(
+        [("r0", 0.0), ("r0", 1.0), ("r0", 50.0), ("r0", 120.0)],
+        "repo string, secs double",
+    ).select(
+        "repo", (t0 + F.make_interval(secs=F.col("secs"))).alias("event_time")
+    ).write.parquet(str(src / "p0"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out_dir, ckpt = str(tmp_path / "bout"), str(tmp_path / "bckpt")
+    q = (
+        streaming_sessions(stream, gap_seconds=30, watermark_delay="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_start.second + 60 * r.session_start.minute,
+         r.session_end.second + 60 * r.session_end.minute, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # [0,1]x2 and [50,50]x1 close in-batch; [120,120] stays open
+    assert got == {(0, 1, 2), (50, 50, 1)}
