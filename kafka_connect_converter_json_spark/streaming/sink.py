@@ -98,6 +98,7 @@ class BucketedMergeSink:
         salted_merge: bool = False,
         salt_buckets: int = 32,
         sort_within_buckets: bool = False,
+        merge_mode: str = "cow",
         manifest_writer: ManifestWriter | None = None,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
@@ -128,6 +129,16 @@ class BucketedMergeSink:
         # default since hash-bucketing already spreads *key-space* skew.
         self.salted_merge = salted_merge
         self.salt_buckets = salt_buckets
+        # merge_mode: "cow" (default) rewrites every touched bucket per
+        # epoch — reads are a plain scan, writes pay O(touched table
+        # slice). "mor" (merge-on-read) writes only the epoch's
+        # LWW-reduced DELTA (deletes kept as tombstone markers) — writes
+        # pay O(batch), reads merge base + deltas until ``compact()``
+        # folds them down. MOR is the 10^10-event shape when epochs touch
+        # a large key fraction: epoch cost stops scaling with table size.
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
+        self.merge_mode = merge_mode
         # sort_within_buckets: cluster each bucket file by the merge keys
         # before write (Iceberg SORTED BY analogue). Costs one in-task
         # sort per epoch; buys parquet row-group min/max stats that let a
@@ -151,7 +162,8 @@ class BucketedMergeSink:
             raise ValueError(f"no sink manifest at {root!r} — nothing to open")
         return cls(
             spark, root, keys=list(stored["keys"]), order_col=stored["order_col"],
-            num_buckets=int(stored["num_buckets"]), **kwargs,
+            num_buckets=int(stored["num_buckets"]),
+            merge_mode=stored.get("merge_mode", "cow"), **kwargs,
         )
 
     # ----- manifest ------------------------------------------------------
@@ -168,8 +180,10 @@ class BucketedMergeSink:
             # _bucket_expr read/rewrite the WRONG buckets — silent row loss
             # and duplicate keys — so mismatches are a hard error.
             for attr, key in (("keys", "keys"), ("order_col", "order_col"),
-                              ("num_buckets", "num_buckets")):
-                stored, given = existing[key], getattr(self, attr)
+                              ("num_buckets", "num_buckets"),
+                              ("merge_mode", "merge_mode")):
+                stored = existing.get(key, "cow") if key == "merge_mode" else existing[key]
+                given = getattr(self, attr)
                 if stored != given:
                     raise ValueError(
                         f"sink at {self.root!r} was created with {key}={stored!r}; "
@@ -182,8 +196,10 @@ class BucketedMergeSink:
             "keys": self.keys,
             "order_col": self.order_col,
             "num_buckets": self.num_buckets,
+            "merge_mode": self.merge_mode,
             "epochs": [],
             "buckets": {},
+            "deltas": [],
         }
 
     def _commit_manifest(self, manifest: dict) -> None:
@@ -241,13 +257,71 @@ class BucketedMergeSink:
             *self.keys, self.order_col, self.op_col, *payload_cols,
             *[c for c in ("kafka_partition", "kafka_offset") if c in batch.columns],
         )
+        merge_fn = self._merge_mor if self.merge_mode == "mor" else self._merge_persisted
         if self.persist_batch:
             batch = batch.persist()
             try:
-                return self._merge_persisted(batch, epoch, payload_cols)
+                return merge_fn(batch, epoch, payload_cols)
             finally:
                 batch.unpersist()
-        return self._merge_persisted(batch, epoch, payload_cols)
+        return merge_fn(batch, epoch, payload_cols)
+
+    def _merge_mor(self, batch: DataFrame, epoch: int, payload_cols: list[str]) -> dict:
+        """Merge-on-read epoch: LWW-reduce WITHIN the batch only (one
+        version per key per epoch; deletes kept as tombstone markers) and
+        append the result as a bucket-partitioned DELTA directory. The
+        table is never read, so epoch cost is O(batch) regardless of
+        table size; ``read()`` merges base + deltas and ``compact()``
+        folds them back into a base."""
+        batch_b = batch.withColumn("_bucket", self._bucket_expr())
+        lineage_stats, touched = self._stats_pass(batch_b, epoch)
+
+        lww = (
+            (lambda df, k, o, p: lww_latest_salted(df, k, o, p, self.salt_buckets))
+            if self.salted_merge
+            else lww_latest
+        )
+        # op survives: an op='d' winner is the tombstone marker that masks
+        # base/earlier-delta rows at read time
+        reduced = lww(
+            batch_b, self.keys + ["_bucket"], self.order_col,
+            payload_cols + [self.op_col],
+        )
+
+        epoch_rel = f"data/e{epoch:06d}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        if os.path.exists(epoch_dir):  # orphan from a crashed attempt
+            shutil.rmtree(epoch_dir)
+        to_write = (
+            reduced.repartition(max(1, len(touched)), "_bucket")
+            if self.write_repartition
+            else reduced
+        )
+        if self.sort_within_buckets:
+            to_write = to_write.sortWithinPartitions("_bucket", *self.keys)
+        to_write.write.partitionBy("_bucket").parquet(epoch_dir)
+
+        written = sorted(
+            f"{epoch_rel}/{d}"
+            for d in os.listdir(epoch_dir)
+            if d.startswith("_bucket=")
+        )
+        stats = {
+            "epoch": epoch,
+            "touched_buckets": len(touched),
+            "lineage": lineage_stats,
+            "buckets": dict(self._manifest["buckets"]),
+            "deltas": list(self._manifest.get("deltas", [])) + written,
+        }
+        manifest = dict(self._manifest)
+        manifest["deltas"] = stats["deltas"]
+        manifest["epochs"] = manifest["epochs"] + [stats]
+        pending = getattr(self, "_pending_meta", None)
+        if pending:
+            manifest["meta"] = {**manifest.get("meta", {}), **pending}
+            self._pending_meta = None
+        self._commit_manifest(manifest)
+        return stats
 
     def _merge_persisted(self, batch: DataFrame, epoch: int, payload_cols: list[str]) -> dict:
         batch_b = batch.withColumn("_bucket", self._bucket_expr())
@@ -407,23 +481,88 @@ class BucketedMergeSink:
 
     # ----- read ----------------------------------------------------------
 
+    def _merged_view(self, base_rels: list[str], delta_rels: list[str]) -> DataFrame:
+        """Base ∪ deltas -> one live row per key (MOR read path): LWW by
+        ``order_col`` across base rows (implicit op='u') and delta rows
+        (op kept, op='d' winners mask the key), then drop tombstones."""
+        if not base_rels and not delta_rels:
+            raise ValueError("sink is empty — no committed buckets or deltas")
+        rd = self.spark.read.option("mergeSchema", "true")
+        parts = []
+        if base_rels:
+            parts.append(
+                rd.parquet(*[os.path.join(self.root, r) for r in base_rels])
+                .withColumn(self.op_col, F.lit("u"))
+            )
+        if delta_rels:
+            parts.append(rd.parquet(*[os.path.join(self.root, r) for r in delta_rels]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if not delta_rels:
+            return df.drop(self.op_col)  # pure base: already one row per key
+        payload = [
+            c for c in df.columns
+            if c not in self.keys and c not in (self.order_col, self.op_col)
+        ]
+        merged = lww_latest(df, self.keys, self.order_col, payload + [self.op_col])
+        return merged.filter(F.col(self.op_col) != self.delete_op).drop(self.op_col)
+
     def read(self) -> DataFrame:
-        paths = [os.path.join(self.root, rel) for rel in self._manifest["buckets"].values()]
-        if not paths:
-            raise ValueError("sink is empty — no committed buckets")
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._merged_view(
+            list(self._manifest["buckets"].values()),
+            list(self._manifest.get("deltas", [])),
+        )
 
     def read_as_of(self, epoch: int) -> DataFrame:
         """Time travel: table state as of a committed epoch (the epoch's
-        bucket-map snapshot is recorded in the manifest at commit time —
-        the Iceberg snapshot-read analogue). Valid until ``vacuum``."""
+        bucket-map + delta-list snapshot is recorded in the manifest at
+        commit time — the Iceberg snapshot-read analogue). Valid until
+        ``vacuum``."""
         for e in self._manifest["epochs"]:
             if e["epoch"] == epoch:
-                paths = [os.path.join(self.root, rel) for rel in e["buckets"].values()]
-                if not paths:
-                    raise ValueError(f"epoch {epoch} committed an empty table")
-                return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+                return self._merged_view(
+                    list(e["buckets"].values()), list(e.get("deltas", []))
+                )
         raise ValueError(f"epoch {epoch} is not committed")
+
+    def compact(self) -> dict:
+        """Fold pending MOR deltas into a fresh base (the Iceberg
+        rewrite_data_files / Delta OPTIMIZE analogue): one LWW job over
+        base ∪ deltas, written bucket-partitioned, committed through the
+        same manifest CAS. Readers see the old (base, deltas) snapshot
+        until the commit; prior epoch snapshots keep their delta paths
+        (time travel intact until vacuum). After compaction reads are
+        plain scans again."""
+        deltas = list(self._manifest.get("deltas", []))
+        if not deltas:
+            return {"compacted": False, "deltas_folded": 0}
+        current = self.read()  # the merged view — already tombstone-free
+        seq = len(self._manifest.get("maintenance", []))
+        rel_dir = f"data/c{seq:06d}"
+        out_dir = os.path.join(self.root, rel_dir)
+        if os.path.exists(out_dir):  # orphan from a crashed attempt
+            shutil.rmtree(out_dir)
+        (
+            current.withColumn("_bucket", self._bucket_expr())
+            .repartition(self.num_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_map = {
+            d.split("=", 1)[1]: f"{rel_dir}/{d}"
+            for d in os.listdir(out_dir)
+            if d.startswith("_bucket=")
+        }
+        manifest = dict(self._manifest)
+        manifest["buckets"] = new_map
+        manifest["deltas"] = []
+        manifest["maintenance"] = manifest.get("maintenance", []) + [
+            {"op": "compact", "deltas_folded": len(deltas), "dir": rel_dir}
+        ]
+        self._commit_manifest(manifest)
+        return {"compacted": True, "deltas_folded": len(deltas),
+                "buckets_written": len(new_map)}
 
     def vacuum(self, keep_epochs: int = 0) -> list[str]:
         """Delete data directories unreachable from the current bucket map
@@ -432,8 +571,10 @@ class BucketedMergeSink:
         Storage hygiene at scale: without vacuum, COW keeps every epoch's
         full rewrite forever."""
         keep: set[str] = set(self._manifest["buckets"].values())
+        keep.update(self._manifest.get("deltas", []))  # pending MOR deltas are live
         for e in self._manifest["epochs"][-keep_epochs:] if keep_epochs else []:
             keep.update(e["buckets"].values())
+            keep.update(e.get("deltas", []))
         keep_rel = set(keep)
         removed = []
         data_root = os.path.join(self.root, "data")
@@ -487,6 +628,15 @@ class BucketedMergeSink:
         cost is O(changed data), not O(table). Within changed buckets a
         key changed iff its stored ``order_col`` changed (LWW: one
         version per key per snapshot, monotone in ``order_col``)."""
+        if self.merge_mode == "mor":
+            # MOR snapshots share base paths, so path-identity pruning
+            # would misread unmerged deltas as "unchanged"; the deltas
+            # themselves ARE the changelog there (read the delta dirs of
+            # the epoch range), or compact() both snapshots first.
+            raise ValueError(
+                "read_changes requires a copy-on-write sink; for merge_mode="
+                "'mor' the per-epoch delta directories are the changelog"
+            )
         fm, tm = self._snapshot_map(from_epoch), self._snapshot_map(to_epoch)
         f_items, t_items = set(fm.items()), set(tm.items())
         old_rels = [rel for b, rel in fm.items() if (b, rel) not in t_items]
@@ -587,6 +737,9 @@ class BucketedMergeSink:
         manifest = dict(self._manifest)
         manifest["buckets"] = new_map
         manifest["num_buckets"] = new_num_buckets
+        # read() above already folded any pending MOR deltas into the
+        # rewrite; leaving them listed would only re-apply no-ops
+        manifest["deltas"] = []
         manifest["maintenance"] = manifest.get("maintenance", []) + [
             {"op": "rebucket", "from": self.num_buckets, "to": new_num_buckets,
              "dir": rel_dir}

@@ -1,0 +1,137 @@
+"""Merge-on-read sink mode: epochs append LWW-reduced deltas (O(batch)
+writes), reads merge base + deltas, compact() folds them down. Final
+state must be byte-identical to copy-on-write on the same stream."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_converter_json_spark.sources.cdc_gen import gen_events
+from kafka_connect_converter_json_spark.streaming.ingest import ingest
+from kafka_connect_converter_json_spark.streaming.sink import BucketedMergeSink
+
+N = 2000
+
+
+def _rows(df):
+    cols = sorted(c for c in df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return gen_events(spark, N, n_repos=10, paths_per_repo=20, seed=17).cache()
+
+
+def test_mor_matches_cow_final_state(spark, events, tmp_path):
+    cow = ingest(spark, events, str(tmp_path / "cow"), N, n_epochs=4, num_buckets=8)
+    mor = ingest(
+        spark, events, str(tmp_path / "mor"), N, n_epochs=4, num_buckets=8,
+        merge_mode="mor",
+    )
+    assert _rows(mor.read()) == _rows(cow.read())
+
+
+def test_mor_writes_deltas_not_base(spark, events, tmp_path):
+    root = str(tmp_path / "m")
+    sink = ingest(spark, events, root, N, n_epochs=3, num_buckets=8, merge_mode="mor")
+    m = sink._manifest
+    # base never materialized: all data lives in per-epoch delta dirs
+    assert m["buckets"] == {}
+    assert len(m["deltas"]) > 0
+    assert all(rel.startswith("data/e") for rel in m["deltas"])
+    # each epoch snapshot records the delta list as of its commit
+    assert len(m["epochs"][0]["deltas"]) < len(m["epochs"][-1]["deltas"])
+
+
+def test_mor_deletes_mask_earlier_versions(spark, tmp_path):
+    root = str(tmp_path / "d")
+    ev = gen_events(spark, 500, n_repos=4, paths_per_repo=10, seed=3)
+    sink = ingest(spark, ev, root, 500, n_epochs=2, num_buckets=4, merge_mode="mor")
+    final = sink.read()
+    # the generator emits deletes; a deleted key must not appear
+    deleted = (
+        ev.filter(F.col("op") == "d")
+        .groupBy("repo", "path").agg(F.max("lsn").alias("dl"))
+    )
+    live = final.select("repo", "path", "lsn")
+    resurrected = (
+        live.join(deleted, ["repo", "path"]).filter(F.col("lsn") < F.col("dl"))
+    )
+    assert resurrected.count() == 0
+    # and no tombstone/op column leaks into the read schema
+    assert "op" not in final.columns
+
+
+def test_mor_compact_preserves_state_and_clears_deltas(spark, events, tmp_path):
+    root = str(tmp_path / "c")
+    sink = ingest(spark, events, root, N, n_epochs=4, num_buckets=8, merge_mode="mor")
+    before = _rows(sink.read())
+    pre_epoch = max(sink.committed_epochs())
+    out = sink.compact()
+    assert out["compacted"] and out["deltas_folded"] > 0
+    assert sink._manifest["deltas"] == []
+    assert _rows(sink.read()) == before
+    # time travel to the pre-compact snapshot still resolves (old delta
+    # dirs remain on disk until vacuum)
+    assert _rows(sink.read_as_of(pre_epoch)) == before
+    # idempotent: nothing left to fold
+    assert sink.compact() == {"compacted": False, "deltas_folded": 0}
+    # a reopened sink adopts the compacted layout
+    assert _rows(BucketedMergeSink.open(spark, root).read()) == before
+
+
+def test_mor_merge_after_compact(spark, events, tmp_path):
+    """Epochs keep committing after a compaction: base + new deltas."""
+    root = str(tmp_path / "mc")
+    half = N // 2
+    first = events.filter(F.col("lsn") < half)
+    sink = ingest(spark, first, root, half, n_epochs=2, num_buckets=8,
+                  merge_mode="mor")
+    sink.compact()
+    # second half replays as later epochs on the same sink root
+    sink2 = ingest(spark, events, root, N, n_epochs=4, num_buckets=8,
+                   merge_mode="mor")
+    cow = ingest(spark, events, str(tmp_path / "ref"), N, n_epochs=4, num_buckets=8)
+    assert _rows(sink2.read()) == _rows(cow.read())
+
+
+def test_mor_crash_resume_byte_identical(spark, events, tmp_path):
+    root = str(tmp_path / "cr")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest(spark, events, root, N, n_epochs=4, num_buckets=8,
+               merge_mode="mor", fail_after_epochs=2)
+    resumed = ingest(spark, events, root, N, n_epochs=4, num_buckets=8,
+                     merge_mode="mor")
+    clean = ingest(spark, events, str(tmp_path / "cl"), N, n_epochs=4,
+                   num_buckets=8, merge_mode="mor")
+    assert _rows(resumed.read()) == _rows(clean.read())
+
+
+def test_mor_vacuum_after_compact_removes_deltas(spark, events, tmp_path):
+    root = str(tmp_path / "v")
+    sink = ingest(spark, events, root, N, n_epochs=3, num_buckets=8,
+                  merge_mode="mor")
+    before = _rows(sink.read())
+    sink.compact()
+    removed = sink.vacuum()
+    assert any(rel.startswith("data/e") for rel in removed)
+    assert _rows(sink.read()) == before
+    # the delta dirs are gone from disk
+    for rel in removed:
+        assert not os.path.exists(os.path.join(root, rel))
+
+
+def test_mor_read_changes_refused(spark, events, tmp_path):
+    sink = ingest(spark, events, str(tmp_path / "rc"), N, n_epochs=2,
+                  num_buckets=8, merge_mode="mor")
+    with pytest.raises(ValueError, match="copy-on-write"):
+        sink.read_changes(to_epoch=1, from_epoch=0)
+
+
+def test_mode_mismatch_is_hard_error(spark, events, tmp_path):
+    root = str(tmp_path / "mm")
+    ingest(spark, events, root, N, n_epochs=1, num_buckets=8, merge_mode="mor")
+    with pytest.raises(ValueError, match="merge_mode"):
+        BucketedMergeSink(spark, root, keys=["repo", "path"], num_buckets=8)
