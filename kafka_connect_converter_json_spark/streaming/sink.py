@@ -99,6 +99,7 @@ class BucketedMergeSink:
         salt_buckets: int = 32,
         sort_within_buckets: bool = False,
         merge_mode: str = "cow",
+        compact_every: int | None = None,
         manifest_writer: ManifestWriter | None = None,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
@@ -139,6 +140,11 @@ class BucketedMergeSink:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         self.merge_mode = merge_mode
+        # compact_every (MOR only): auto-fold deltas once the pending
+        # DELTA-EPOCH count reaches this — bounds read amplification
+        # (reads merge O(compact_every) deltas at most) the way real MOR
+        # tables bound their delete-file chains. None = manual compact().
+        self.compact_every = compact_every
         # sort_within_buckets: cluster each bucket file by the merge keys
         # before write (Iceberg SORTED BY analogue). Costs one in-task
         # sort per epoch; buys parquet row-group min/max stats that let a
@@ -321,6 +327,12 @@ class BucketedMergeSink:
             manifest["meta"] = {**manifest.get("meta", {}), **pending}
             self._pending_meta = None
         self._commit_manifest(manifest)
+        if self.compact_every is not None:
+            n_delta_epochs = len({r.split("/")[1] for r in manifest["deltas"]})
+            if n_delta_epochs >= self.compact_every:
+                # after the epoch commit (never instead of it): a crash
+                # here just leaves the deltas pending for the next trigger
+                stats = {**stats, "auto_compact": self.compact()}
         return stats
 
     def _merge_persisted(self, batch: DataFrame, epoch: int, payload_cols: list[str]) -> dict:

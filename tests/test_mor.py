@@ -135,3 +135,19 @@ def test_mode_mismatch_is_hard_error(spark, events, tmp_path):
     ingest(spark, events, root, N, n_epochs=1, num_buckets=8, merge_mode="mor")
     with pytest.raises(ValueError, match="merge_mode"):
         BucketedMergeSink(spark, root, keys=["repo", "path"], num_buckets=8)
+
+
+def test_mor_auto_compact_bounds_read_amplification(spark, events, tmp_path):
+    """compact_every=2: deltas auto-fold after every second epoch, so
+    pending delta epochs never exceed the bound and state stays exact."""
+    root = str(tmp_path / "ac")
+    sink = ingest(
+        spark, events, root, N, n_epochs=4, num_buckets=8,
+        merge_mode="mor", compact_every=2,
+    )
+    m = sink._manifest
+    pending_epochs = {r.split("/")[1] for r in m["deltas"]}
+    assert len(pending_epochs) < 2
+    assert any(e["op"] == "compact" for e in m.get("maintenance", []))
+    ref = ingest(spark, events, str(tmp_path / "acr"), N, n_epochs=4, num_buckets=8)
+    assert _rows(sink.read()) == _rows(ref.read())
