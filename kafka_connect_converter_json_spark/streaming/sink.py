@@ -526,6 +526,34 @@ class BucketedMergeSink:
             list(self._manifest.get("deltas", [])),
         )
 
+    def read_key(self, *key_values) -> DataFrame:
+        """Point lookup: the live row(s) for one key, reading ONLY the
+        key's bucket — `pmod(xxhash64(key), num_buckets)` names the single
+        bucket directory that can hold it, so the scan touches 1/num_buckets
+        of the table (plus that bucket's pending deltas in MOR mode), and
+        with ``sort_within_buckets`` parquet row-group min/max stats skip
+        inside the file too. The O(1)-ish key fetch a 10^10-row table
+        needs; equivalent to ``read().filter(keys = values)``."""
+        if len(key_values) != len(self.keys):
+            raise ValueError(f"expected {len(self.keys)} key values ({self.keys})")
+        row = self.spark.range(1).select(
+            *[F.lit(v).alias(k) for k, v in zip(self.keys, key_values)]
+        )
+        bucket = str(row.select(self._bucket_expr().alias("b")).collect()[0].b)
+        base = self._manifest["buckets"].get(bucket)
+        deltas = [
+            rel for rel in self._manifest.get("deltas", [])
+            if rel.endswith(f"_bucket={bucket}")
+        ]
+        if base is None and not deltas:
+            return self.read().limit(0)  # empty frame with the live schema
+        df = self._merged_view([base] if base else [], deltas)
+        cond = None
+        for k, v in zip(self.keys, key_values):
+            eq = F.col(k) == F.lit(v)
+            cond = eq if cond is None else (cond & eq)
+        return df.filter(cond)
+
     def read_as_of(self, epoch: int) -> DataFrame:
         """Time travel: table state as of a committed epoch (the epoch's
         bucket-map + delta-list snapshot is recorded in the manifest at

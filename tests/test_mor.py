@@ -151,3 +151,30 @@ def test_mor_auto_compact_bounds_read_amplification(spark, events, tmp_path):
     assert any(e["op"] == "compact" for e in m.get("maintenance", []))
     ref = ingest(spark, events, str(tmp_path / "acr"), N, n_epochs=4, num_buckets=8)
     assert _rows(sink.read()) == _rows(ref.read())
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_read_key_point_lookup(spark, events, tmp_path, mode):
+    """read_key touches only the key's bucket and agrees with a full-scan
+    filter — for live, deleted, and absent keys, in both merge modes."""
+    root = str(tmp_path / f"pk_{mode}")
+    sink = ingest(spark, events, root, N, n_epochs=3, num_buckets=8,
+                  merge_mode=mode)
+    full = sink.read().cache()
+    live = full.limit(3).collect()
+    deleted = (
+        events.filter(F.col("op") == "d").select("repo", "path").limit(1).collect()
+    )
+    probes = [(r.repo, r.path) for r in live] + [
+        (r.repo, r.path) for r in deleted
+    ] + [("no-such-repo", "no/such/path")]
+    for repo, path in probes:
+        got = _rows(sink.read_key(repo, path))
+        exp = _rows(full.filter((F.col("repo") == repo) & (F.col("path") == path)))
+        assert got == exp, (repo, path)
+
+
+def test_read_key_arity_check(spark, events, tmp_path):
+    sink = ingest(spark, events, str(tmp_path / "pka"), N, n_epochs=1, num_buckets=4)
+    with pytest.raises(ValueError, match="key values"):
+        sink.read_key("only-one")
