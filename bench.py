@@ -123,15 +123,21 @@ def bench_ingest(spark, n_events: int, num_partitions: int) -> dict:
         # Best of 3 trials: the shared sandbox host swings with co-tenant
         # load (same-code runs measured 72-95k ev/s across one day).
         trials = int(os.environ.get("SPARK_GRAFT_INGEST_TRIALS", "3"))
+        # SPARK_GRAFT_INGEST_MODE=mor benches the merge-on-read sink; the
+        # default stays cow for cross-round comparability (at this shape
+        # table==batch, so the modes measure within noise — BENCH.md has
+        # the steady-state A/B where they diverge)
+        mode = os.environ.get("SPARK_GRAFT_INGEST_MODE", "cow")
         dt = float("inf")
         for _trial in range(trials):
             shutil.rmtree(root, ignore_errors=True)
             t0 = time.time()
             ingest(spark, events, root, n_events, n_epochs=4, parse_mode="native",
-                   num_buckets=32, prune_buckets=True)
+                   num_buckets=32, prune_buckets=True, merge_mode=mode)
             dt = min(dt, time.time() - t0)
         return {"ingest_events": n_events, "ingest_sec": round(dt, 2),
-                "ingest_events_per_sec": round(n_events / dt)}
+                "ingest_events_per_sec": round(n_events / dt),
+                "ingest_merge_mode": mode}
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(src_pq, ignore_errors=True)
