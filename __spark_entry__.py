@@ -870,6 +870,16 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language balanced subset: deterministic hash ranking
+    within each stratum (stable across engines/partitionings — the
+    class-balancing op `df.sample`/`ORDER BY rand()` can't give)."""
+    from kafka_connect_converter_json_spark.operators.sampling import take_per_stratum
+
+    d = _t(spark, sf_dir, "documents")
+    return take_per_stratum(d, k=10).select("doc_id", "lang")
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling + train/test assignment: pure
     md5-hash decisions (partitioning-independent, engine-portable)."""
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "sample_split": q_sample_split,
         "corpus_pipeline": q_corpus_pipeline,
+        "balanced_sample": q_balanced_sample,
     }
 
 
@@ -1748,5 +1759,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.lang <> 'und' AND q.quality >= 0.9
               AND ('0x' || substr(md5('s0:' || CAST(l.doc_id AS VARCHAR)), 1, 8))::UBIGINT
                   < 0.5 * 4294967296.0
+        """,
+        "balanced_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                                doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
         """,
     }

@@ -65,6 +65,7 @@ HEADLINE = [
     "dup_spans",
     "sample_split",
     "corpus_pipeline",
+    "balanced_sample",
 ]
 
 INGEST_EVENTS = int(os.environ.get("SPARK_GRAFT_INGEST_EVENTS", "1000000"))

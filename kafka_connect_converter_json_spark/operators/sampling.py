@@ -67,3 +67,34 @@ def train_test_split(
         _BUCKETS
     )
     return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def take_per_stratum(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    k: int = 10,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly-k-per-stratum balanced subset (class balancing): within
+    each stratum, rank rows by the deterministic hash and keep the first
+    k. Unlike fraction sampling the output size is exact (min(k, |stratum|)),
+    and unlike ``ORDER BY rand()`` the subset is stable across runs,
+    engines, and repartitions.
+
+    Only (key, stratum, hash) moves through the ranking shuffle — the
+    window runs over a narrow projection, and the winners (k x |strata|
+    rows: tiny by construction) broadcast back as a map-side semi-join,
+    so full rows never shuffle at all."""
+    from pyspark.sql import Window
+
+    h = _hash_unit(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(F.asc("_h"), F.asc(key_col))
+    keep = (
+        df.select(key_col, strata_col)
+        .withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(key_col)
+    )
+    return df.join(F.broadcast(keep), key_col, "left_semi")

@@ -182,3 +182,23 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             expected[u] = min(v for v in nodes if find(v) == root)
         got = _cc(spark, [(int(a), int(b)) for a, b in edges])
         assert got == expected, f"seed {seed}"
+
+
+def test_take_per_stratum_exact_k_and_stable(spark):
+    from kafka_connect_converter_json_spark.operators.sampling import take_per_stratum
+
+    d = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    out = take_per_stratum(d, k=7)
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 7, "de": 7}
+    # stable across physical layout; payload columns survive untouched
+    again = take_per_stratum(d.repartition(9), k=7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # small stratum: returns all of it
+    tiny = d.filter(F.col("doc_id") < 4)  # en: {0,3}, de: {1,2}
+    c2 = {r.lang: r["count"] for r in take_per_stratum(tiny, k=7).groupBy("lang").count().collect()}
+    assert c2 == {"en": 2, "de": 2}
