@@ -202,3 +202,53 @@ def test_take_per_stratum_exact_k_and_stable(spark):
     tiny = d.filter(F.col("doc_id") < 4)  # en: {0,3}, de: {1,2}
     c2 = {r.lang: r["count"] for r in take_per_stratum(tiny, k=7).groupBy("lang").count().collect()}
     assert c2 == {"en": 2, "de": 2}
+
+
+def test_duplicate_span_fold_matches_python_oracle(spark):
+    """The dual 31-bit polynomial fold must equal an independent
+    pure-Python evaluation of the same formula on random token streams
+    (guards the no-overflow arithmetic and the window indexing)."""
+    import hashlib
+    import random
+
+    from kafka_connect_converter_json_spark.operators.textdedup import (
+        _SPAN_B1, _SPAN_B2, _SPAN_M1, _SPAN_M2, duplicate_spans,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(15, 60))))
+        for i in range(30)
+    ]
+    # force one shared 15-token window between docs 100 and 101
+    shared = " ".join(rng.choice(vocab) for _ in range(15))
+    docs += [(100, "a b " + shared), (101, shared + " x y z")]
+
+    def tok_hash(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def span_fp(tokens):
+        f1 = f2 = 0
+        for t in tokens:
+            h = tok_hash(t)
+            f1 = (f1 * _SPAN_B1 + h % _SPAN_M1) % _SPAN_M1
+            f2 = (f2 * _SPAN_B2 + h % _SPAN_M2) % _SPAN_M2
+        return f1 * 2147483648 + f2
+
+    expected = {}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        for fp in {span_fp(toks[i:i + 15]) for i in range(len(toks) - 14)}:
+            expected.setdefault(fp, []).append(doc_id)
+    exp_rows = sorted(
+        (fp, len(ids), min(ids)) for fp, ids in expected.items() if len(ids) >= 2
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.span_fp, r.n_docs, r.representative)
+        for r in duplicate_spans(df, n=15, min_docs=2).collect()
+    )
+    assert got == exp_rows
+    assert len(got) >= 1  # the injected shared window is detected
