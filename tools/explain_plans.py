@@ -149,6 +149,16 @@ def main() -> None:
         [],
     ))
 
+    # 11. composed corpus pipeline: the dedup kill list is duplicate-
+    # group-sized (tiny), so its anti-join must broadcast — the whole
+    # dedup filter is map-side against the corpus scan
+    plan11 = formatted(em.q_corpus_pipeline(spark, sf_dir))
+    sections.append((
+        "Composed corpus pipeline (broadcast kill-list anti-join)",
+        plan11,
+        ["BroadcastHashJoin LeftAnti"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
