@@ -1543,8 +1543,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type,
                    count(*) AS n_events,
-                   sum(CASE WHEN event_id % 10 != 0 THEN 1 ELSE 0 END) AS n_upserts,
-                   sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_deletes,
+                   sum(CASE WHEN event_id % 10 != 0 THEN 1 ELSE 0 END)::BIGINT AS n_upserts,
+                   sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
                    max(event_id) AS max_lsn
             FROM events
             GROUP BY 1, 2
@@ -1597,8 +1597,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, t,
-                     sum(nb) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                     (sum(nb) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING))::BIGINT - 1 AS session_id
               FROM b
             )
             SELECT user_id, session_id,

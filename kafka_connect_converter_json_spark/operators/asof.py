@@ -66,7 +66,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_tie"),
         F.lit(None).cast(
-            right.select(payload.alias("_p")).schema["_p"].dataType.simpleString()
+            right.select(payload.alias("_p")).schema["_p"].dataType
         ).alias("_p"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
     )
@@ -78,7 +78,7 @@ def asof_join(
         payload.alias("_p"),
         F.lit(None).cast(
             left.select(F.struct(*[F.col(c) for c in left.columns]).alias("_l"))
-            .schema["_l"].dataType.simpleString()
+            .schema["_l"].dataType
         ).alias("_l"),
     )
     u = l_tag.unionByName(r_tag)

@@ -61,8 +61,11 @@ def merge_into_sql(
 ) -> str:
     """One-epoch CDC MERGE. Source must be pre-reduced to one row per
     key (operators.dedup.lww_latest — same contract as
-    BucketedMergeSink). The ``order`` guard makes re-merging an already
-    applied epoch a no-op for matched rows."""
+    BucketedMergeSink). The ``order`` guard on BOTH the update and the
+    delete branch makes re-merging a stale or already-applied epoch a
+    no-op for matched rows — without it on DELETE, replaying an old
+    epoch whose per-key winner is a delete would remove a newer live
+    row (ADVICE r3)."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     sets = ", ".join(
         f"t.{c} = s.{c}" for c in [*payload_cols, order_col]
@@ -71,7 +74,8 @@ def merge_into_sql(
     ins_vals = ", ".join(f"s.{c}" for c in [*keys, *payload_cols, order_col])
     return (
         f"MERGE INTO {table} t USING {updates_view} s ON {on} "
-        f"WHEN MATCHED AND s.{op_col} = '{delete_op}' THEN DELETE "
+        f"WHEN MATCHED AND s.{op_col} = '{delete_op}' "
+        f"AND s.{order_col} >= t.{order_col} THEN DELETE "
         f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED AND s.{op_col} <> '{delete_op}' THEN "
         f"INSERT ({ins_cols}) VALUES ({ins_vals})"

@@ -232,6 +232,25 @@ class BucketedMergeSink:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets))
 
+    def _key_types(self) -> dict:
+        """Stored dtype of each key column, from one committed parquet
+        footer (cached). xxhash64 is TYPE-sensitive — lit(5) is an int32
+        and hashes to a different bucket than a bigint column holding 5 —
+        so point-lookup literals must be cast to the stored type before
+        bucketing."""
+        cached = getattr(self, "_key_types_cache", None)
+        if cached is not None:
+            return cached
+        rels = list(self._manifest["buckets"].values()) or list(
+            self._manifest.get("deltas", [])
+        )
+        types: dict = {}
+        if rels:
+            schema = self.spark.read.parquet(os.path.join(self.root, rels[0])).schema
+            types = {f.name: f.dataType for f in schema.fields if f.name in self.keys}
+            self._key_types_cache = types  # only cache once data exists
+        return types
+
     def meta(self) -> dict:
         """Engine metadata committed atomically with epochs (e.g. the
         schema registry snapshot) — the Iceberg snapshot-properties
@@ -536,8 +555,14 @@ class BucketedMergeSink:
         needs; equivalent to ``read().filter(keys = values)``."""
         if len(key_values) != len(self.keys):
             raise ValueError(f"expected {len(self.keys)} key values ({self.keys})")
+        ktypes = self._key_types()
+
+        def _klit(k, v):
+            lit = F.lit(v)
+            return lit.cast(ktypes[k]) if k in ktypes else lit
+
         row = self.spark.range(1).select(
-            *[F.lit(v).alias(k) for k, v in zip(self.keys, key_values)]
+            *[_klit(k, v).alias(k) for k, v in zip(self.keys, key_values)]
         )
         bucket = str(row.select(self._bucket_expr().alias("b")).collect()[0].b)
         base = self._manifest["buckets"].get(bucket)
@@ -550,7 +575,7 @@ class BucketedMergeSink:
         df = self._merged_view([base] if base else [], deltas)
         cond = None
         for k, v in zip(self.keys, key_values):
-            eq = F.col(k) == F.lit(v)
+            eq = F.col(k) == _klit(k, v)
             cond = eq if cond is None else (cond & eq)
         return df.filter(cond)
 

@@ -239,16 +239,26 @@ def streaming_sessions(
                 )
         if not stamps:
             return
-        stamps.sort()
-        sessions = [list(state.get)] if state.exists else []
-        for t in stamps:
-            if sessions and t <= sessions[-1][1] + gap_ms:
+        # Gaps-and-islands over {open-session interval} ∪ new stamps,
+        # sorted by start — NOT "fold every stamp into the open session".
+        # A late event inside the watermark but more than gap BEFORE the
+        # open session's start must form its own (immediately closed)
+        # earlier session, matching batch `sessionize`; folding it in
+        # would stretch session_start (ADVICE r3). Interval merge also
+        # bridges straggler chains that reach within gap of the open
+        # session, exactly as the batch operator would.
+        intervals = [[t, t, 1] for t in sorted(stamps)]
+        if state.exists:
+            intervals.append(list(state.get))
+            intervals.sort(key=lambda s: (s[0], s[1]))
+        sessions: list[list[int]] = []
+        for iv in intervals:
+            if sessions and iv[0] <= sessions[-1][1] + gap_ms:
                 s = sessions[-1]
-                s[0] = min(s[0], t)
-                s[1] = max(s[1], t)
-                s[2] += 1
+                s[1] = max(s[1], iv[1])
+                s[2] += iv[2]
             else:
-                sessions.append([t, t, 1])
+                sessions.append(iv)
         closed, open_s = sessions[:-1], sessions[-1]
         state.update(tuple(open_s))
         # the timer must sit strictly beyond the current watermark

@@ -61,3 +61,16 @@ def test_asof_preserves_left_cardinality_and_columns(spark):
     assert out.columns == ["k", "t", "extra", "rt_asof", "rv_asof"]
     row = {r.t: r for r in out.collect()}
     assert row[7].rv_asof == 60 and row[7].extra == "x7"  # latest rt=6
+
+
+def test_asof_handles_columns_needing_backquotes(spark):
+    """Payload/left column names with spaces and hyphens must survive the
+    null-placeholder cast (built from the DataType object, not its
+    simpleString, which would fail to parse unquoted). ADVICE r3."""
+    ldf = spark.createDataFrame(
+        [("a", 5, "L")], "k string, t long, `left col` string")
+    rdf = spark.createDataFrame(
+        [("a", 3, 30), ("b", 1, 10)], "k string, rt long, `r-val` long")
+    out = asof_join(ldf, rdf, ["k"], "t", "rt")
+    row = out.collect()[0]
+    assert row["left col"] == "L" and row["r-val_asof"] == 30

@@ -73,7 +73,9 @@ def test_merge_into_sql_shape():
     )
     assert "MERGE INTO lake.db.files t USING _updates s" in sql
     assert "ON t.repo = s.repo AND t.path = s.path" in sql
-    assert "WHEN MATCHED AND s.op = 'd' THEN DELETE" in sql
+    # delete branch carries the same order guard as update: replaying a
+    # stale epoch whose winner is a delete must not remove a newer row
+    assert "WHEN MATCHED AND s.op = 'd' AND s.lsn >= t.lsn THEN DELETE" in sql
     assert "WHEN MATCHED AND s.lsn >= t.lsn THEN UPDATE SET" in sql
     assert "t.content = s.content" in sql and "t.lsn = s.lsn" in sql
     assert "WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT" in sql

@@ -178,3 +178,28 @@ def test_read_key_arity_check(spark, events, tmp_path):
     sink = ingest(spark, events, str(tmp_path / "pka"), N, n_epochs=1, num_buckets=4)
     with pytest.raises(ValueError, match="key values"):
         sink.read_key("only-one")
+
+
+def test_read_key_integer_key_casts_literal(spark, tmp_path):
+    """xxhash64 is type-sensitive: lit(5) (int32) hashes differently from a
+    BIGINT column holding 5, so read_key must cast probe literals to the
+    STORED key dtype or it scans the wrong bucket and returns empty.
+    Probes every doc_id of a bigint-keyed sink (ADVICE r3)."""
+    sink = BucketedMergeSink(
+        spark, str(tmp_path / "ik"), keys=["doc_id"], num_buckets=8
+    )
+    batch = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),           # LongType key
+        F.col("id").alias("lsn"),
+        F.lit("u").alias("op"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    sink.merge(batch, epoch=0)
+    full = sink.read().cache()
+    assert full.count() == 40
+    for doc_id in [0, 5, 17, 39]:
+        got = _rows(sink.read_key(doc_id))
+        exp = _rows(full.filter(F.col("doc_id") == doc_id))
+        assert got == exp and len(got) == 1, doc_id
+    # absent key on an int-keyed sink still returns empty, not an error
+    assert sink.read_key(10_000).count() == 0

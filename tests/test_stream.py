@@ -271,3 +271,61 @@ def test_streaming_sessions_in_batch_split(spark, tmp_path):
     }
     # [0,1]x2 and [50,50]x1 close in-batch; [120,120] stays open
     assert got == {(0, 1, 2), (50, 50, 1)}
+
+
+def test_streaming_sessions_early_straggler_splits_not_stretches(spark, tmp_path):
+    """A late event inside the watermark but more than gap BEFORE the open
+    session's start forms its own (immediately closed) earlier session —
+    it must NOT be folded in and stretch session_start. A straggler
+    within gap of the open session's start DOES bridge in (both match
+    batch `sessionize`). ADVICE r3 regression."""
+    from pyspark.sql import functions as F
+    from kafka_connect_converter_json_spark.streaming.stream import streaming_sessions
+
+    src = tmp_path / "esrc"
+    schema = "repo string, event_time timestamp"
+    t0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "repo string, secs double").select(
+            "repo", (t0 + F.make_interval(secs=F.col("secs"))).alias("event_time")
+        ).coalesce(1)
+
+    # p0 opens sessions at t=100 (gap 30, watermark delay 60 → wm=40)
+    mk([("r0", 100.0), ("r1", 100.0)]).write.parquet(str(src / "p0"))
+    # p1: r0@60 is within the watermark (60>40) but 60 < 100-30 → its own
+    # closed session; r1@75 is within gap of start (75 >= 70) → bridges
+    mk([("r0", 60.0), ("r1", 75.0)]).write.parquet(str(src / "p1"))
+    # p2: dummy key advances the watermark to 240 so open-session timers fire
+    mk([("r2", 300.0)]).write.parquet(str(src / "p2"))
+
+    import os as _os, time as _time
+    now = _time.time()
+    for k, d in enumerate(["p0", "p1", "p2"]):
+        for f in (src / d).iterdir():
+            _os.utime(f, (now - 300 + 100 * k, now - 300 + 100 * k))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out_dir, ckpt = str(tmp_path / "eout"), str(tmp_path / "eckpt")
+    q = (
+        streaming_sessions(stream, gap_seconds=30, watermark_delay="60 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.skey, r.session_start.second + 60 * r.session_start.minute,
+         r.session_end.second + 60 * r.session_end.minute, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("r0", 60, 60, 1),     # straggler split off, closed in-batch
+        ("r0", 100, 100, 1),   # open session UNstretched, closed by timer
+        ("r1", 75, 100, 2),    # within-gap straggler bridged in
+    }

@@ -90,6 +90,19 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # The driver canonicalizes the oracle side through pandas, which
+        # renders HUGEINT/UHUGEINT as float64 ("5.0" vs Spark's "5") — a
+        # hash mismatch fetchall() can't see. Catch it at the type level.
+        try:
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            bad = [(c, t) for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
+            if bad:
+                problems.append(
+                    f"oracle emits {bad} — pandas renders these as float64; "
+                    "cast to ::BIGINT"
+                )
+        except Exception:  # noqa: BLE001
+            pass  # DESCRIBE unsupported for this statement shape; skip
         if sorted(cols) != sorted(ocols):
             problems.append(f"cols {sorted(cols)} != {sorted(ocols)}")
         if len(rows) != len(orows):
