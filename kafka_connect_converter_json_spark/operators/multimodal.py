@@ -206,6 +206,97 @@ def decode_wav(payload: bytes, feature_dim: int = 8) -> dict:
             "features": (hist / denom).astype(float).tolist()}
 
 
+Y4M_SIG = b"YUV4MPEG2 "
+_Y4M_FRAME_SIZE = {"mono": 1.0, "420": 1.5, "422": 2.0, "444": 3.0}
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """Minimal YUV4MPEG2 encoder, ``Cmono`` colorspace: one text header
+    line, then ``FRAME\\n`` + the raw Y plane per frame. ``frames``:
+    iterable of equal-shape (h, w) uint8 arrays. Valid, readable by
+    ffmpeg/mpv; the round-trip golden for the video codec seam."""
+    import numpy as np
+
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)]
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError(f"frame shape {f.shape} != {(h, w)}")
+        out.append(b"FRAME\n")
+        out.append(f.tobytes())
+    return b"".join(out)
+
+
+def y4m_frame_index(payload: bytes):
+    """Parse a Y4M container WITHOUT touching pixel data: returns
+    ``(width, height, y_plane_bytes, [per-frame Y-plane byte offsets])``.
+    Handles mono/420/422/444 colorspaces (420 is the spec default when
+    no C tag is present); FRAME parameter lines are tolerated. The
+    offset list is the random-access index frame sampling needs — a
+    sampler slices ``payload[off : off + width*height]`` and never reads
+    the frames in between."""
+    if payload[: len(Y4M_SIG)] != Y4M_SIG:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    w = h = None
+    cs = "420"
+    for tok in payload[len(Y4M_SIG):nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:].decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    ratio = next(
+        (r for p, r in _Y4M_FRAME_SIZE.items() if cs.startswith(p)), None
+    )
+    if ratio is None:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    frame_size, y_size = int(w * h * ratio), w * h
+    offsets, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1  # FRAME line may carry params
+        offsets.append(pos)
+        pos += frame_size
+    if offsets and offsets[-1] + frame_size > len(payload):
+        raise ValueError("truncated final frame")
+    return w, h, y_size, offsets
+
+
+def y4m_frame_pixels(payload: bytes, idx: int):
+    """The (h, w) uint8 Y (luma) plane of frame ``idx`` — real pixel
+    bytes via the offset index, no full-stream decode."""
+    import numpy as np
+
+    w, h, y_size, offsets = y4m_frame_index(payload)
+    off = offsets[idx]
+    return np.frombuffer(payload[off:off + y_size], dtype=np.uint8).reshape(h, w)
+
+
+def decode_y4m(payload: bytes, feature_dim: int = 8) -> dict:
+    """Real Y4M decode: dims + frame count from the container walk,
+    features = L1-normalized histogram over every frame's Y plane."""
+    import numpy as np
+
+    w, h, y_size, offsets = y4m_frame_index(payload)
+    if offsets:
+        ys = np.concatenate(
+            [np.frombuffer(payload[o:o + y_size], dtype=np.uint8) for o in offsets]
+        )
+    else:
+        ys = np.array([], dtype=np.uint8)
+    hist, _ = np.histogram(ys, bins=feature_dim, range=(0, 256))
+    return {"width": int(w), "height": int(h), "n_frames": len(offsets),
+            "features": (hist / max(1, ys.size)).astype(float).tolist()}
+
+
 def decode_media(payload: bytes, feature_dim: int = 8) -> dict:
     """Magic-byte dispatch to the real codecs. Raises NotImplementedError
     for formats this container has no library for (JPEG/MP4/...)."""
@@ -213,10 +304,13 @@ def decode_media(payload: bytes, feature_dim: int = 8) -> dict:
         return decode_png(payload, feature_dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload, feature_dim)
+    if payload[: len(Y4M_SIG)] == Y4M_SIG:
+        return decode_y4m(payload, feature_dim)
     raise NotImplementedError(
-        "no codec for this payload (PNG and WAV decode in pure stdlib; "
-        "other formats need image/audio libraries absent from this "
-        "container — or pass fake=True for the deterministic stub)"
+        "no codec for this payload (PNG, WAV and Y4M video decode in "
+        "pure stdlib; other formats need image/audio libraries absent "
+        "from this container — or pass fake=True for the deterministic "
+        "stub)"
     )
 
 
@@ -398,7 +492,10 @@ def resize_media(
 
 def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:
     """Frame sampling plan for video: one output row per sampled frame
-    index (frame extraction itself stubbed behind the fake decode)."""
+    index. With ``fake=False`` and Y4M payloads the frame count comes
+    from the REAL container walk (``decode_y4m``); ``fake=True`` keeps
+    the hash-derived stub for the engine-portable contract row. For the
+    sampled frames' actual pixel bytes see ``sample_frame_pixels``."""
     feats = decode_features(df.filter(F.col("kind") == "video"), fake=fake)
     return feats.select(
         "media_id",
@@ -406,6 +503,47 @@ def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFr
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+FRAME_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("y_plane", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frame_pixels(
+    df: DataFrame, every_n: int = 30, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame extraction for Y4M video via Arrow-batched
+    ``mapInPandas``: every ``every_n``-th frame's Y (luma) plane as raw
+    bytes, sliced through the per-frame offset index — the container is
+    walked once per payload and only sampled frames' bytes are copied
+    out. Output partitioning inherits ``decode_features``' size-bucket
+    scheme upstream if applied; each output row is one frame, so a long
+    video fans out rows instead of growing one row."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "y_plane": []}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = b"" if payload is None else bytes(payload)
+                w, h, y_size, offsets = y4m_frame_index(p)
+                for idx in range(0, len(offsets), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_plane"].append(p[offsets[idx]:offsets[idx] + y_size])
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", payload_col
+    ).mapInPandas(run, schema=FRAME_PIXELS_SCHEMA)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -57,11 +57,23 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """Exact brute-force top-k neighbors per query vector.
+    """Exact brute-force top-k neighbors per query vector, two-level.
 
     Output: (query_id, neighbor_id, cos) — self-matches excluded, ties
     broken by neighbor id ascending. The query side is broadcast; scores
     round to ``round_digits`` for cross-engine determinism.
+
+    Scale shape: a single ``row_number`` window partitioned by query_id
+    would funnel ALL |corpus| scored rows of each query into one task —
+    the straggler at 10^10 rows. Instead level 1 takes top-k per
+    (query_id, corpus scan partition): the shuffle key carries the scan
+    partition id, so work spreads over every partition and no task sees
+    more than one partition's rows per query. Level 2 re-ranks only the
+    <= k * num_partitions survivors per query. Both levels use the same
+    total order (cos desc, neighbor_id asc), so every global top-k row
+    ranks <= k inside its own partition — the result is EXACTLY the
+    single-level answer. LSH/IVF (below) remain the candidate-pruned
+    scale paths; this is the exact baseline.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -74,10 +86,20 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos"),
+            F.spark_partition_id().alias("_pid"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    order = [F.col("cos").desc(), F.col("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_pid", "_r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
 
 
 def hyperplane_weights(bits: int, table: int, dim: int) -> list[list[float]]:

@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = 1000,
     hash_shingles: bool = True,
     cut_strategy: str = "broadcast_hot",
+    pair_chunk: int = 128,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
@@ -177,17 +178,59 @@ def ngram_jaccard_pairs(
             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") >= 2)
         )
-        pair_structs = F.flatten(
+        # Chunked in-place combinations (VERDICT r3 #6): a flat
+        # combinations projection would build f^2/2 structs in ONE row
+        # (~500k at cut=1000, unbounded if the cut is raised). Instead
+        # explode (chunk_i, chunk_j) index pairs over C-sized positional
+        # slices of the sorted id list: a same-chunk row emits its C^2/2
+        # within-combinations, a cross-chunk row the full C^2 product —
+        # per-row pair memory is <= C^2 structs REGARDLESS of the cut,
+        # while totals are identical. Sorted unique ids make every
+        # cross-chunk (a, b) already satisfy id_a < id_b positionally.
+        C = pair_chunk
+        chunked = (
+            ids_per_shingle.select(
+                "ids",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("ids") / C).cast("int") - 1,
+                    )
+                ).alias("_ci"),
+            )
+            .select(
+                "ids",
+                "_ci",
+                F.explode(
+                    F.sequence(
+                        F.col("_ci"),
+                        F.ceil(F.size("ids") / C).cast("int") - 1,
+                    )
+                ).alias("_cj"),
+            )
+        )
+        ca = F.slice(F.col("ids"), F.col("_ci") * C + 1, F.lit(C))
+        cb = F.slice(F.col("ids"), F.col("_cj") * C + 1, F.lit(C))
+        within = F.flatten(
             F.transform(
-                F.col("ids"),
+                ca,
                 lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    F.slice(ca, i + 2, F.lit(C)),
                     lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
                 ),
             )
         )
+        cross = F.flatten(
+            F.transform(
+                ca,
+                lambda x: F.transform(
+                    cb, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+            )
+        )
+        pair_structs = F.when(F.col("_ci") == F.col("_cj"), within).otherwise(cross)
         common = (
-            ids_per_shingle.select(F.explode(pair_structs).alias("p"))
+            chunked.select(F.explode(pair_structs).alias("p"))
             .select("p.id_a", "p.id_b")
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("common"))

@@ -189,3 +189,60 @@ def test_resize_media_through_spark(spark):
     src = mm.png_pixels(big)
     assert np.array_equal(mm.png_pixels(bytes(rows[1].payload)),
                           mm.resize_pixels(src, 16))
+
+
+def test_y4m_round_trip_exact():
+    """encode_y4m -> y4m_frame_pixels inverts every frame byte-for-byte,
+    and the offset index never reads pixel data it doesn't slice."""
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, size=(4, 6), dtype=np.uint8) for _ in range(5)]
+    payload = mm.encode_y4m(frames, fps=30)
+    assert payload.startswith(b"YUV4MPEG2 W6 H4 F30:1")
+    w, h, y_size, offs = mm.y4m_frame_index(payload)
+    assert (w, h, y_size, len(offs)) == (6, 4, 24, 5)
+    for i, f in enumerate(frames):
+        assert np.array_equal(mm.y4m_frame_pixels(payload, i), f)
+    d = mm.decode_y4m(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (6, 4, 5)
+    allb = np.concatenate([f.ravel() for f in frames])
+    want, _ = np.histogram(allb, bins=8, range=(0, 256))
+    assert d["features"] == (want / allb.size).tolist()
+
+
+def test_y4m_colorspace_frame_sizes_and_errors():
+    """420 (the spec default, no C tag) and 422/444 stride correctly;
+    truncation and bad markers raise instead of mis-slicing."""
+    y = bytes(range(16))                       # 4x4 Y plane
+    p420 = b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + y + bytes(8) \
+         + b"FRAME\n" + y + bytes(8)
+    w, h, y_size, offs = mm.y4m_frame_index(p420)
+    assert (w, h, y_size, len(offs)) == (4, 4, 16, 2)
+    p444 = b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + y + bytes(32)
+    assert len(mm.y4m_frame_index(p444)[3]) == 1
+    with pytest.raises(ValueError, match="truncated"):
+        mm.y4m_frame_index(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + y[:10])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        mm.y4m_frame_index(b"YUV4MPEG2 W4 H4 Cmono\nXRAME\n" + y)
+    with pytest.raises(ValueError, match="colorspace"):
+        mm.y4m_frame_index(b"YUV4MPEG2 W4 H4 C999\nFRAME\n" + y)
+
+
+def test_y4m_through_spark_decode_and_frame_sample(spark):
+    """decode_features(fake=False) reads REAL video dims/frame counts
+    from Y4M payloads, and sample_frame_pixels returns the actual Y
+    planes of every sampled frame."""
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, size=(3, 5), dtype=np.uint8) for _ in range(7)]
+    y4m = mm.encode_y4m(frames)
+    df = spark.createDataFrame(
+        [(1, "video", None, bytearray(y4m))], schema=mm.MEDIA_SCHEMA
+    )
+    feat = mm.decode_features(df, fake=False).collect()[0]
+    assert (feat.width, feat.height, feat.n_frames) == (5, 3, 7)
+    idx = mm.frame_sample(df, every_n=3, fake=False).collect()
+    assert sorted(r.frame_idx for r in idx) == [0, 3, 6]
+    px = {r.frame_idx: r for r in mm.sample_frame_pixels(df, every_n=3).collect()}
+    assert sorted(px) == [0, 3, 6]
+    for i, r in px.items():
+        assert (r.width, r.height) == (5, 3)
+        assert bytes(r.y_plane) == frames[i].tobytes()

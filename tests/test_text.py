@@ -153,3 +153,27 @@ def test_simhash_near_pairs_capped_still_finds_exact_dups(spark):
     pairs = {(r.id_a, r.id_b, r.hamming) for r in
              td.simhash_near_pairs(df, max_hamming=0, max_band_freq=100).collect()}
     assert pairs == {(1, 2, 0)}
+
+
+def test_ngram_jaccard_chunked_pairs_equivalent(spark):
+    """The chunked pair generator (bounded per-row pair arrays) must
+    produce EXACTLY the flat-combinations result: many docs sharing
+    shingles, pair_chunk far smaller than the hottest doc-list so the
+    within-chunk, cross-chunk, and ragged-tail paths all execute."""
+    # 10 docs all sharing one base sentence -> one shingle list of 10 ids
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, f"{base} tail{i} word{i % 3}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def result(chunk):
+        return sorted(
+            (r.id_a, r.id_b, r.common, r.jaccard)
+            for r in td.ngram_jaccard_pairs(
+                df, n=2, threshold=0.0, max_shingle_freq=100, pair_chunk=chunk
+            ).collect()
+        )
+
+    big = result(128)   # every list fits one chunk (flat behavior)
+    assert len(big) == 45  # all C(10,2) pairs share the base shingles
+    assert result(3) == big   # chunked: 4 chunks of <=3, ragged tail
+    assert result(1) == big   # degenerate: all-cross-chunk
