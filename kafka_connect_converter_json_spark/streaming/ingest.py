@@ -72,6 +72,50 @@ def infer_envelope_schema_from_sample(spark: SparkSession, sample_json: str) -> 
     return dt
 
 
+def infer_envelope_schemas_batch(
+    spark: SparkSession, samples: list[str]
+) -> list[T.StructType]:
+    """All samples' schemas in ONE Spark job: a single ``range(1)`` row
+    computes ``schema_of_json`` per sample as columns. The per-sample
+    form costs one driver round-trip EACH (up to 6/epoch) — pure serial
+    time that Amdahl charges against scaling efficiency on small
+    executors counts; batching makes it one round-trip per epoch.
+    Unparseable samples yield no entry (same skip semantics as the
+    caller's old try/except)."""
+    if not samples:
+        return []
+    try:
+        row = spark.range(1).select(
+            *[F.schema_of_json(F.lit(s)).alias(f"_s{i}") for i in range(len(samples))]
+        ).collect()[0]
+        ddls = list(row)
+    except Exception:  # noqa: BLE001 — a corrupt sample fails the whole
+        # batched job; fall back to per-sample jobs so good samples
+        # still observe (the rare path — corrupt envelopes are already
+        # filtered to the quarantine channel before they win a sample)
+        ddls = []
+        for s in samples:
+            try:
+                ddls.append(
+                    spark.range(1)
+                    .select(F.schema_of_json(F.lit(s)).alias("s"))
+                    .collect()[0][0]
+                )
+            except Exception:  # noqa: BLE001
+                ddls.append(None)
+    out = []
+    for ddl in ddls:
+        if ddl is None:
+            continue
+        try:
+            dt = T._parse_datatype_string(ddl)
+            if isinstance(dt, T.StructType):
+                out.append(dt)
+        except Exception:  # noqa: BLE001 — unparseable: skip
+            continue
+    return out
+
+
 def infer_envelope_schema(spark: SparkSession, events: DataFrame, value_col: str) -> T.StructType:
     """Driver-side schema inference from one sampled envelope (the
     registry 'observe' step; cheap — one take(1))."""
@@ -340,11 +384,8 @@ def ingest(
             # from_json reads it as null. One aggregation job collects the
             # first/last envelopes by LSN plus hash-picked pseudo-random
             # rows spread across the epoch (min_by with independent seeds).
-            for s in observe_envelope_samples_pruned(batch, "value_json", "lsn"):
-                try:
-                    inferred = infer_envelope_schema_from_sample(spark, s)
-                except Exception:  # noqa: BLE001 — corrupt sample: skip
-                    continue
+            samples = observe_envelope_samples_pruned(batch, "value_json", "lsn")
+            for inferred in infer_envelope_schemas_batch(spark, samples):
                 registry.observe("SourceChange", inferred)
             env_schema = registry.get("SourceChange")
             if env_schema is None:

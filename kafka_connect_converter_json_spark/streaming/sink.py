@@ -694,14 +694,7 @@ class BucketedMergeSink:
         key changed iff its stored ``order_col`` changed (LWW: one
         version per key per snapshot, monotone in ``order_col``)."""
         if self.merge_mode == "mor":
-            # MOR snapshots share base paths, so path-identity pruning
-            # would misread unmerged deltas as "unchanged"; the deltas
-            # themselves ARE the changelog there (read the delta dirs of
-            # the epoch range), or compact() both snapshots first.
-            raise ValueError(
-                "read_changes requires a copy-on-write sink; for merge_mode="
-                "'mor' the per-epoch delta directories are the changelog"
-            )
+            return self._read_changes_mor(to_epoch, from_epoch)
         fm, tm = self._snapshot_map(from_epoch), self._snapshot_map(to_epoch)
         f_items, t_items = set(fm.items()), set(tm.items())
         old_rels = [rel for b, rel in fm.items() if (b, rel) not in t_items]
@@ -760,6 +753,118 @@ class BucketedMergeSink:
             pre = F.col(f"_o_{c}") if f"_o_{c}" in j.columns else F.lit(None)
             sel.append(
                 F.when(F.col(ct) == "delete", pre).otherwise(F.col(f"_n_{c}")).alias(c)
+            )
+        return out.select(*sel)
+
+    def _snapshot(self, epoch: int | None) -> dict | None:
+        if epoch is None:
+            return None
+        for e in self._manifest["epochs"]:
+            if e["epoch"] == epoch:
+                return e
+        raise ValueError(f"epoch {epoch} is not committed")
+
+    def _read_changes_mor(self, to_epoch: int, from_epoch: int | None) -> DataFrame:
+        """Changelog for a merge-on-read sink. MOR epochs append
+        LWW-reduced delta directories, so the deltas committed in
+        ``(from_epoch, to_epoch]`` already ARE the changed data — read
+        exactly those dirs (O(changed), no snapshot diffing), reduce to
+        the per-key range winner, and classify each winner against the
+        as-of-``from_epoch`` state, which is itself pruned to the
+        winners' buckets. Output schema and semantics match the COW
+        path: insert / update_postimage / delete (pre-image payload and
+        order for deletes); a tombstone for a key not live at
+        ``from_epoch``, or a replayed stale version, is not a change.
+
+        Refuses ranges a ``compact()``/``rebucket()`` landed inside: the
+        folded deltas are gone from the ``to`` snapshot's list, so the
+        range changelog is no longer reconstructible from deltas — diff
+        ``read_as_of`` states instead, or take snapshots from one
+        maintenance generation."""
+        to_s = self._snapshot(to_epoch)
+        from_s = self._snapshot(from_epoch)
+        from_deltas = list(from_s.get("deltas", [])) if from_s else []
+        to_deltas = list(to_s.get("deltas", []))
+        from_buckets = dict(from_s["buckets"]) if from_s else {}
+        if set(from_deltas) - set(to_deltas) or (
+            from_s and from_buckets != dict(to_s["buckets"])
+        ):
+            raise ValueError(
+                "a compact()/rebucket() landed between the snapshots — the "
+                "range's deltas were folded into the base; diff read_as_of("
+                f"{from_epoch}) vs read_as_of({to_epoch}) instead"
+            )
+        new_rels = [r for r in to_deltas if r not in set(from_deltas)]
+        if not new_rels:
+            raise ValueError("snapshots are identical — no new deltas")
+        d = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, r) for r in new_rels]
+        )
+        payload = [
+            c for c in d.columns
+            if c not in self.keys and c not in (self.order_col, self.op_col)
+        ]
+        w = lww_latest(d, self.keys, self.order_col, payload + [self.op_col])
+
+        # prior state, pruned to the winners' buckets (collect is bounded
+        # by num_buckets, same as the manifest/lineage driver steps)
+        cand = {
+            str(r._b)
+            for r in w.select(self._bucket_expr().alias("_b")).distinct().collect()
+        }
+        base_rels = [from_buckets[b] for b in sorted(cand) if b in from_buckets]
+        delta_rels = [
+            r for r in from_deltas
+            if any(r.endswith(f"_bucket={b}") for b in cand)
+        ]
+        ct = "_change_type"
+        if not base_rels and not delta_rels:  # empty prior: inserts only
+            return (
+                w.filter(F.col(self.op_col) != self.delete_op)
+                .select(
+                    *self.keys,
+                    F.lit("insert").alias(ct),
+                    self.order_col,
+                    *payload,
+                )
+            )
+        prior = self._merged_view(base_rels, delta_rels)
+        p = prior.select(
+            *[F.col(k).alias(f"_pk_{k}") for k in self.keys],
+            F.col(self.order_col).alias("_p_ord"),
+            *[
+                F.col(c).alias(f"_p_{c}")
+                for c in payload
+                if c in prior.columns
+            ],
+        )
+        cond = None
+        for k in self.keys:
+            eq = w[k].eqNullSafe(p[f"_pk_{k}"])
+            cond = eq if cond is None else (cond & eq)
+        j = w.join(p, cond, "left_outer")
+        present_old = F.col("_p_ord").isNotNull()
+        is_del = F.col(self.op_col) == self.delete_op
+        newer = F.col(self.order_col) >= F.col("_p_ord")
+        change = (
+            F.when(is_del & present_old & newer, F.lit("delete"))
+            .when(is_del, F.lit(None))  # tombstone of absent/newer-live key
+            .when(~present_old, F.lit("insert"))
+            .when(F.col(self.order_col) > F.col("_p_ord"), F.lit("update_postimage"))
+            .otherwise(F.lit(None))  # same or stale version: not a change
+        )
+        out = j.withColumn(ct, change).filter(F.col(ct).isNotNull())
+        sel = [F.col(k) for k in self.keys]
+        sel.append(F.col(ct))
+        sel.append(
+            F.when(F.col(ct) == "delete", F.col("_p_ord"))
+            .otherwise(F.col(self.order_col))
+            .alias(self.order_col)
+        )
+        for c in payload:
+            pre = F.col(f"_p_{c}") if f"_p_{c}" in j.columns else F.lit(None)
+            sel.append(
+                F.when(F.col(ct) == "delete", pre).otherwise(F.col(c)).alias(c)
             )
         return out.select(*sel)
 

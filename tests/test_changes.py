@@ -134,3 +134,46 @@ def test_changelog_maintains_downstream_aggregate(spark, tmp_path):
         for r in sink.read().select("k").collect():
             truth[r.k[0]] = truth.get(r.k[0], 0) + 1
         assert {k: v for k, v in downstream.items() if v} == truth, f"epoch {e}"
+
+
+def test_read_changes_mor_matches_cow(spark, tmp_path):
+    """The MOR changelog (range deltas classified against the pruned
+    prior snapshot) must emit exactly what the COW path-diff emits for
+    the same event stream — inserts, updates, deletes with pre-image,
+    composition across epochs, and delete-of-absent-key suppression."""
+    batches = [
+        [("k1", 1, "u", "a"), ("k2", 2, "u", "b")],
+        [("k1", 3, "u", "a2"), ("k3", 4, "u", "c"), ("kx", 5, "d", None)],
+        [("k2", 6, "d", None), ("k3", 7, "u", "c2")],
+    ]
+    cow = BucketedMergeSink(spark, str(tmp_path / "c"), keys=["k"],
+                            order_col="lsn", num_buckets=4)
+    mor = BucketedMergeSink(spark, str(tmp_path / "m"), keys=["k"],
+                            order_col="lsn", num_buckets=4, merge_mode="mor")
+    for e, rows in enumerate(batches):
+        cow.merge(_batch(spark, rows), epoch=e)
+        mor.merge(_batch(spark, rows), epoch=e)
+
+    def chg(sink, to, frm):
+        df = sink.read_changes(to, from_epoch=frm)
+        return sorted((r.k, r._change_type, r.v, r.lsn) for r in df.collect())
+
+    for to, frm in [(0, None), (1, 0), (2, 1), (2, 0), (2, None)]:
+        assert chg(mor, to, frm) == chg(cow, to, frm), (to, frm)
+    assert mor.read_changes(1, from_epoch=0).columns == \
+        cow.read_changes(1, from_epoch=0).columns
+
+
+def test_read_changes_mor_refuses_compacted_range(spark, tmp_path):
+    sink = BucketedMergeSink(spark, str(tmp_path / "mc"), keys=["k"],
+                             order_col="lsn", num_buckets=4, merge_mode="mor")
+    sink.merge(_batch(spark, [("k1", 1, "u", "a")]), epoch=0)
+    sink.merge(_batch(spark, [("k1", 2, "u", "a2")]), epoch=1)
+    sink.compact()
+    sink.merge(_batch(spark, [("k2", 3, "u", "b")]), epoch=2)
+    # range straddling the compaction: deltas were folded away
+    with pytest.raises(ValueError, match="compact"):
+        sink.read_changes(2, from_epoch=0)
+    # identical snapshots still refuse
+    with pytest.raises(ValueError, match="identical"):
+        sink.read_changes(2, from_epoch=2)

@@ -123,11 +123,17 @@ def test_mor_vacuum_after_compact_removes_deltas(spark, events, tmp_path):
         assert not os.path.exists(os.path.join(root, rel))
 
 
-def test_mor_read_changes_refused(spark, events, tmp_path):
-    sink = ingest(spark, events, str(tmp_path / "rc"), N, n_epochs=2,
-                  num_buckets=8, merge_mode="mor")
-    with pytest.raises(ValueError, match="copy-on-write"):
-        sink.read_changes(to_epoch=1, from_epoch=0)
+def test_mor_read_changes_matches_cow_on_stream(spark, events, tmp_path):
+    """read_changes works on MOR sinks since r4 (range deltas classified
+    against the pruned prior snapshot) and must equal the COW path-diff
+    on the same generated CDC stream."""
+    mor = ingest(spark, events, str(tmp_path / "rc"), N, n_epochs=2,
+                 num_buckets=8, merge_mode="mor")
+    cow = ingest(spark, events, str(tmp_path / "rcc"), N, n_epochs=2,
+                 num_buckets=8)
+    m = _rows(mor.read_changes(to_epoch=1, from_epoch=0))
+    c = _rows(cow.read_changes(to_epoch=1, from_epoch=0))
+    assert m == c and len(m) > 0
 
 
 def test_mode_mismatch_is_hard_error(spark, events, tmp_path):

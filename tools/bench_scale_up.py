@@ -25,6 +25,7 @@ def main() -> None:
     epochs = int(os.environ.get("SPARK_GRAFT_SCALEUP_EPOCHS", "10"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     buckets = int(os.environ.get("SPARK_GRAFT_SCALEUP_BUCKETS", "128"))
+    mode = os.environ.get("SPARK_GRAFT_SCALEUP_MODE", "cow")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -66,6 +67,7 @@ def main() -> None:
         sink = ingest(
             spark, events.drop("seg"), root, n, n_epochs=epochs,
             num_buckets=buckets, epoch_source=epoch_src, prune_buckets=False,
+            merge_mode=mode,
         )
         dt = time.time() - t0
 
@@ -75,6 +77,7 @@ def main() -> None:
         )
         out = {
             "scaleup_events": n,
+            "merge_mode": mode,
             "epochs": epochs,
             "num_buckets": buckets,
             "wall_sec": round(dt, 1),

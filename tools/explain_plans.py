@@ -159,6 +159,18 @@ def main() -> None:
         ["BroadcastHashJoin LeftAnti"],
     ))
 
+    # 12. exact cosine top-k is two-level: the level-1 window partitions
+    # by (query_id, scan-partition id) — the exchange spreads each
+    # query's |corpus| scored rows across every partition instead of
+    # funneling them into one task; level 2 re-ranks only the bounded
+    # survivors (hashpartitioning(query_id) over <= k * P rows/query)
+    plan12 = formatted(em.q_ann_topk(spark, sf_dir))
+    sections.append((
+        "Exact cosine top-k (two-level rank: spread, then bounded re-rank)",
+        plan12,
+        ["SPARK_PARTITION_ID"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -192,6 +204,15 @@ def main() -> None:
     checks.append((
         "Deterministic sampling", "no Exchange (pure pushed filter)",
         "Exchange" not in plan10,
+    ))
+    lvl1_spread = any(
+        "hashpartitioning(query_id" in ln and "_pid" in ln
+        for ln in plan12.splitlines()
+    )
+    checks.append((
+        "Exact cosine top-k",
+        "level-1 exchange keyed by (query_id, scan-partition id)",
+        lvl1_spread,
     ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
