@@ -91,17 +91,13 @@ def main() -> None:
             f.write(
                 f"""
 
-## Scale-up point: {n:,}-event replay (`tools/bench_scale_up.py`)
+## Scale-up point: {n:,}-event replay, {mode} mode (`tools/bench_scale_up.py`)
 
 `local[{cpus}]`, 2,000 repos x 1,000 paths (Zipf 3.0), {epochs} exactly-once
-MERGE epochs, {buckets} buckets, tmpfs storage, per-epoch segment layout:
+MERGE epochs ({mode}), {buckets} buckets, tmpfs storage, per-epoch segments:
 
 - ingest: **{n:,} events in {dt:,.1f} s = {n / dt:,.0f} events/sec sustained**
 - final table: {final_keys:,} keys; lineage accounts for exactly {int(lineage_total):,} events
-- throughput vs the 1M headline bench reflects the honest copy-on-write
-  cost of rewriting a ~2M-key table each epoch; at production scale,
-  bucket pruning confines each epoch's rewrite to the touched key-space
-  slice, and the per-epoch cost amortizes further with epoch size.
 """
             )
     finally:
