@@ -86,7 +86,7 @@ for trial in range({trials}):
     shutil.rmtree(root, ignore_errors=True)
     t0 = time.time()
     ingest(spark, events.drop("seg"), root, n, n_epochs=epochs, num_buckets=16,
-           epoch_source=epoch_src, prune_buckets=False)
+           epoch_source=epoch_src, prune_buckets=False, merge_mode={mode!r})
     times.append(round(time.time() - t0, 2))
 dt = min(times)  # best-of-N: the shared sandbox host is noisy
 print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "trials": times,
@@ -103,11 +103,13 @@ def run_at(
     stand-in for an N-executor cluster (unlike local[N], where the driver
     steals cycles from the N worker threads)."""
     cores = workers * cores_per_worker
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "cow")
     root = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir="/dev/shm")
     master = f"local-cluster[{workers},{cores_per_worker},8192]"
     script = RUN_TEMPLATE.format(
         repo=REPO, cores=cores, n_events=n_events, master=master,
         root=os.path.join(root, "tbl"), epochs=epochs, trials=trials,
+        mode=mode,
     )
     try:
         last_err = ""
@@ -170,6 +172,7 @@ def main() -> None:
     eff_norm = round(ratio / host_ratio, 3)
     result = {
         "n_events": n_events,
+        "merge_mode": os.environ.get("SPARK_GRAFT_SCALE_MODE", "cow"),
         "epochs": epochs,
         "n_executors": lo,
         "4n_executors": hi,
