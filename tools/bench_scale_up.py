@@ -71,7 +71,18 @@ def main() -> None:
         )
         dt = time.time() - t0
 
+        # honesty costs the headline doesn't hide: a merged read of the
+        # final state (what every MOR consumer pays until compaction),
+        # and for MOR the compaction itself
+        t0 = time.time()
         final_keys = sink.read().count()
+        read_sec = time.time() - t0
+        compact_sec = None
+        if mode == "mor":
+            t0 = time.time()
+            sink.compact()
+            compact_sec = round(time.time() - t0, 1)
+            assert sink.read().count() == final_keys
         lineage_total = (
             sink.read_lineage().agg(F.sum("n_events").alias("s")).collect()[0]["s"]
         )
@@ -82,6 +93,8 @@ def main() -> None:
             "num_buckets": buckets,
             "wall_sec": round(dt, 1),
             "events_per_sec": round(n / dt),
+            "read_sec": round(read_sec, 1),
+            "compact_sec": compact_sec,
             "final_keys": final_keys,
             "lineage_events": int(lineage_total),
             "lineage_accounts_for_all_events": int(lineage_total) == n,
