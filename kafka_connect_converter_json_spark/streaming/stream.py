@@ -53,6 +53,7 @@ def stream_ingest(
     config: ConverterConfig | None = None,
     num_buckets: int = 64,
     available_now: bool = True,
+    **sink_kwargs,
 ):
     """Tail a file-based event source (one parquet dir per producer epoch
     — the sandbox stand-in for a Kafka topic) into the MERGE sink.
@@ -71,7 +72,8 @@ def stream_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink = BucketedMergeSink(
-            spark, sink_root, keys=["repo", "path"], order_col="lsn", num_buckets=num_buckets
+            spark, sink_root, keys=["repo", "path"], order_col="lsn",
+            num_buckets=num_buckets, **sink_kwargs,
         )
         typed = convert_events(batch_df, config, "native", env_schema)
         typed = typed.filter(~typed["_corrupt"]).drop("_corrupt")

@@ -177,3 +177,31 @@ def test_read_changes_mor_refuses_compacted_range(spark, tmp_path):
     # identical snapshots still refuse
     with pytest.raises(ValueError, match="identical"):
         sink.read_changes(2, from_epoch=2)
+
+
+def test_read_changes_mor_across_schema_evolution(spark, tmp_path):
+    """A payload column added between epochs (additive widening) must
+    flow through the MOR changelog: pre-evolution rows read the new
+    column as null, post-evolution rows carry it — same as COW."""
+    def batch(rows, ddl):
+        return spark.createDataFrame(rows, ddl)
+
+    sinks = {}
+    for mode, d in (("cow", "c"), ("mor", "m")):
+        s = BucketedMergeSink(spark, str(tmp_path / d), keys=["k"],
+                              order_col="lsn", num_buckets=4, merge_mode=mode)
+        s.merge(batch([("k1", 1, "u", "a")], "k string, lsn long, op string, v string"), epoch=0)
+        s.merge(batch([("k1", 2, "u", "a2", "x"), ("k2", 3, "u", "b", "y")],
+                      "k string, lsn long, op string, v string, extra string"), epoch=1)
+        sinks[mode] = s
+
+    def chg(s):
+        df = s.read_changes(1, from_epoch=0)
+        return sorted(
+            (r.k, r._change_type, r.v, r.extra, r.lsn) for r in df.collect()
+        )
+
+    got = chg(sinks["mor"])
+    assert got == chg(sinks["cow"])
+    assert got == [("k1", "update_postimage", "a2", "x", 2),
+                   ("k2", "insert", "b", "y", 3)]

@@ -329,3 +329,25 @@ def test_streaming_sessions_early_straggler_splits_not_stretches(spark, tmp_path
         ("r0", 100, 100, 1),   # open session UNstretched, closed by timer
         ("r1", 75, 100, 2),    # within-gap straggler bridged in
     }
+
+
+def test_stream_ingest_into_mor_sink(spark, source_dir, tmp_path):
+    """stream_ingest forwards sink kwargs: a live tail can run the
+    merge-on-read sink (the 10^10-regime mode) and must converge to the
+    same state as the COW streaming drain."""
+    from kafka_connect_converter_json_spark.streaming.sink import BucketedMergeSink
+
+    stream_ingest(
+        spark, source_dir + "/*", str(tmp_path / "tm"), str(tmp_path / "tmc"),
+        num_buckets=8, merge_mode="mor",
+    )
+    stream_ingest(
+        spark, source_dir + "/*", str(tmp_path / "tc"), str(tmp_path / "tcc"),
+        num_buckets=8,
+    )
+    mor = BucketedMergeSink.open(spark, str(tmp_path / "tm"))
+    cow = BucketedMergeSink.open(spark, str(tmp_path / "tc"))
+    assert mor.merge_mode == "mor" and len(mor._manifest.get("deltas", [])) > 0
+    cols = ["repo", "path", "content", "lsn"]
+    assert _state_hash(mor.read().select(cols).toPandas()) == \
+        _state_hash(cow.read().select(cols).toPandas())
