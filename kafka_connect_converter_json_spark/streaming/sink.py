@@ -806,11 +806,29 @@ class BucketedMergeSink:
         maintenance generation."""
         to_s = self._snapshot(to_epoch)
         from_s = self._snapshot(from_epoch)
-        from_deltas = list(from_s.get("deltas", [])) if from_s else []
         to_deltas = list(to_s.get("deltas", []))
-        from_buckets = dict(from_s["buckets"]) if from_s else {}
+        if from_s is None:
+            # diff against the empty table: every live row as of to_epoch
+            # is an insert. MUST use the full snapshot (base + deltas) —
+            # a compact() earlier in history folds deltas into the base,
+            # so "just the delta dirs" would silently miss those rows.
+            state = self._merged_view(
+                list(to_s["buckets"].values()), to_deltas
+            )
+            payload = [
+                c for c in state.columns
+                if c not in self.keys and c != self.order_col
+            ]
+            return state.select(
+                *self.keys,
+                F.lit("insert").alias("_change_type"),
+                self.order_col,
+                *payload,
+            )
+        from_deltas = list(from_s.get("deltas", []))
+        from_buckets = dict(from_s["buckets"])
         if set(from_deltas) - set(to_deltas) or (
-            from_s and from_buckets != dict(to_s["buckets"])
+            from_buckets != dict(to_s["buckets"])
         ):
             raise ValueError(
                 "a compact()/rebucket() landed between the snapshots — the "

@@ -205,3 +205,19 @@ def test_read_changes_mor_across_schema_evolution(spark, tmp_path):
     assert got == chg(sinks["cow"])
     assert got == [("k1", "update_postimage", "a2", "x", 2),
                    ("k2", "insert", "b", "y", 3)]
+
+
+def test_read_changes_mor_from_none_after_compact(spark, tmp_path):
+    """Diff-vs-empty (from_epoch=None) on a MOR sink whose history
+    contains a compact() must still produce EVERY live row as an insert
+    — the folded (compacted) rows live in the base, not in any delta
+    dir, so a delta-only read would silently drop them."""
+    sink = BucketedMergeSink(spark, str(tmp_path / "fc"), keys=["k"],
+                             order_col="lsn", num_buckets=4, merge_mode="mor")
+    sink.merge(_batch(spark, [("k1", 1, "u", "a"), ("k2", 2, "u", "b")]), epoch=0)
+    sink.compact()  # folds e0 into the base; e0's delta dirs leave the list
+    sink.merge(_batch(spark, [("k3", 3, "u", "c"), ("k1", 4, "u", "a2")]), epoch=1)
+    got = sorted((r.k, r._change_type, r.v, r.lsn)
+                 for r in sink.read_changes(1).collect())
+    assert got == [("k1", "insert", "a2", 4), ("k2", "insert", "b", 2),
+                   ("k3", "insert", "c", 3)]
