@@ -384,11 +384,27 @@ class BucketedMergeSink:
         stats_thread = None
         stats_box: dict = {}
         if self.prune_buckets:
-            # ONE stats pass over the batch: per-partition lineage aggregates
-            # AND touched-bucket discovery (the file-pruning step a real
-            # Iceberg MERGE gets from its partition spec). Lineage is written
-            # BEFORE the manifest flips, so a committed epoch always has it.
-            lineage_stats, touched = self._stats_pass(batch_b, epoch)
+            # Only touched-bucket DISCOVERY gates the merge plan (it picks
+            # which bucket files to read — the pruning a real Iceberg
+            # MERGE gets from its partition spec), so only that tiny
+            # distinct blocks; the lineage aggregation (a wider scan over
+            # offsets/lsn) overlaps the merge on a second thread like the
+            # other paths. Lineage still lands BEFORE the manifest flips,
+            # so a committed epoch always has it.
+            import threading
+
+            def _stats():
+                try:
+                    stats_box["result"] = self._stats_pass(batch_b, epoch)
+                except Exception as e:  # noqa: BLE001
+                    stats_box["error"] = e
+
+            stats_thread = threading.Thread(target=_stats, daemon=True)
+            stats_thread.start()
+            touched = sorted(
+                r["_bucket"]
+                for r in batch_b.select("_bucket").distinct().collect()
+            )
             current_paths = [
                 os.path.join(self.root, buckets_map[str(b)])
                 for b in touched
@@ -471,10 +487,10 @@ class BucketedMergeSink:
             # every live bucket was read and rewritten: the written set IS
             # the new table (absent bucket = fully deleted)
             buckets_map = {str(b): rel for b, rel in written.items()}
-            stats_thread.join()
-            if "error" in stats_box:
-                raise stats_box["error"]
-            lineage_stats, _ = stats_box["result"]
+        stats_thread.join()
+        if "error" in stats_box:
+            raise stats_box["error"]
+        lineage_stats, _ = stats_box["result"]
 
         stats = {
             "epoch": epoch,
