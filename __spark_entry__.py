@@ -900,14 +900,20 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: the driver's correctness harness records exactly the FIRST 50
+    # entries of this dict, while 53 are defined — so the 3 queries that
+    # previously sat at the tail (sample_split / corpus_pipeline /
+    # balanced_sample) never received driver-gate rows in rounds 3-4.
+    # They are placed near the head here; three four-times-green veterans
+    # (identify_schema / case_fold / tombstone_split) rotate to the tail.
     return {
         "extract_keys": q_extract_keys,
         "convert_full": q_convert_full,
-        "identify_schema": q_identify_schema,
+        "sample_split": q_sample_split,
+        "corpus_pipeline": q_corpus_pipeline,
+        "balanced_sample": q_balanced_sample,
         "admission_filter": q_admission_filter,
-        "tombstone_split": q_tombstone_split,
         "stringify_logical": q_stringify_logical,
-        "case_fold": q_case_fold,
         "lww_dedup": q_lww_dedup,
         "lww_salted": q_lww_salted,
         "cdc_apply": q_cdc_apply,
@@ -951,9 +957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "top_ngrams": q_top_ngrams,
         "dup_spans": q_dup_spans,
-        "sample_split": q_sample_split,
-        "corpus_pipeline": q_corpus_pipeline,
-        "balanced_sample": q_balanced_sample,
+        "identify_schema": q_identify_schema,
+        "case_fold": q_case_fold,
+        "tombstone_split": q_tombstone_split,
     }
 
 
