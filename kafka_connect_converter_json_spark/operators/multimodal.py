@@ -525,14 +525,24 @@ def sample_frame_pixels(
     walked once per payload and only sampled frames' bytes are copied
     out. Output partitioning inherits ``decode_features``' size-bucket
     scheme upstream if applied; each output row is one frame, so a long
-    video fans out rows instead of growing one row."""
+    video fans out rows instead of growing one row.
+
+    Rows whose payload is null or not a Y4M container (missing the
+    YUV4MPEG2 magic) are SKIPPED, not raised on — one corrupt payload
+    must not fail the whole stage; route suspects through the
+    quarantine path upstream if they need inspection."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "width": [],
                    "height": [], "y_plane": []}
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 p = b"" if payload is None else bytes(payload)
-                w, h, y_size, offsets = y4m_frame_index(p)
+                if not p.startswith(b"YUV4MPEG2"):
+                    continue
+                try:
+                    w, h, y_size, offsets = y4m_frame_index(p)
+                except ValueError:
+                    continue  # truncated/corrupt container: skip the row
                 for idx in range(0, len(offsets), every_n):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)

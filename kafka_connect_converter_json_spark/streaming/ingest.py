@@ -172,8 +172,13 @@ def observe_envelope_samples_pruned(
     epoch time, and proportionally worse as envelopes grow) becomes two
     near-free jobs. Tombstones are excluded by op, not by
     ``value_col IS NOT NULL``, precisely so job 1 stays off the wide
-    column; a picked row with a null/corrupt envelope is simply skipped
-    by the caller's try/except, same as the one-job form."""
+    column. If any picked LSN yields no envelope (null/corrupt boundary
+    row), the one-job form — which samples among NON-NULL envelopes — is
+    rerun as a fallback, so boundary samples are never silently lost;
+    that pays the wide-column scan only on the rare corrupt-boundary
+    path. The point-fetch is bounded with ``limit()``: ``order_col``
+    need not be unique, and without the bound every row sharing a picked
+    LSN would be pulled to the driver."""
     nn = batch.filter(F.col(op_col) != delete_op)
     aggs = [F.min(order_col).alias("_first"), F.max(order_col).alias("_last")] + [
         F.min_by(order_col, F.xxhash64(F.lit(i), F.col(order_col))).alias(f"_s{i}")
@@ -183,12 +188,17 @@ def observe_envelope_samples_pruned(
     if not rows or rows[0][0] is None:
         return []
     lsns = sorted({v for v in rows[0] if v is not None})
-    picked = (
+    fetched = (
         batch.filter(F.col(order_col).isin(lsns) & F.col(value_col).isNotNull())
-        .select(value_col)
+        .select(order_col, value_col)
+        .limit(4 * len(lsns))
         .collect()
     )
-    return sorted({r[0] for r in picked})
+    if {r[0] for r in fetched} != set(lsns):
+        # a picked row carried no envelope — re-pick among rows that DO
+        # (the one-job form's semantics), instead of losing the sample
+        return observe_envelope_samples(batch, value_col, order_col, seeds)
+    return sorted({r[1] for r in fetched})
 
 
 def _native_key_items(config: ConverterConfig) -> list[tuple[str, str]]:

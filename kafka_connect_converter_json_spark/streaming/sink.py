@@ -360,6 +360,10 @@ class BucketedMergeSink:
             "lineage": lineage_stats,
             "buckets": dict(self._manifest["buckets"]),
             "deltas": list(self._manifest.get("deltas", [])) + written,
+            # the bucket count THIS snapshot's layout was written under —
+            # a later rebucket() changes self.num_buckets, and changelog
+            # bucket pruning must probe with the snapshot's own count
+            "num_buckets": self.num_buckets,
         }
         manifest = dict(self._manifest)
         manifest["deltas"] = stats["deltas"]
@@ -499,6 +503,7 @@ class BucketedMergeSink:
             # snapshot: the full bucket map as of this epoch — enables
             # time travel (read_as_of) exactly like an Iceberg snapshot
             "buckets": buckets_map,
+            "num_buckets": self.num_buckets,
         }
         manifest = dict(self._manifest)
         manifest["buckets"] = buckets_map
@@ -864,10 +869,35 @@ class BucketedMergeSink:
         w = lww_latest(d, self.keys, self.order_col, payload + [self.op_col])
 
         # prior state, pruned to the winners' buckets (collect is bounded
-        # by num_buckets, same as the manifest/lineage driver steps)
+        # by num_buckets, same as the manifest/lineage driver steps).
+        # CRITICAL: probe with the SNAPSHOT's own bucket count, not the
+        # live self.num_buckets — a rebucket() committed after to_epoch
+        # changes the live count while from_buckets keys and delta dir
+        # suffixes still use the count the snapshot was written under;
+        # probing with the new count would silently miss prior rows and
+        # misclassify updates as inserts.
+        snap_nb = from_s.get("num_buckets")
+        if snap_nb is None:
+            # pre-num_buckets-recording manifest: only safe if no
+            # rebucket() ever happened on this table
+            if any(
+                m.get("op") == "rebucket"
+                for m in self._manifest.get("maintenance", [])
+            ):
+                raise ValueError(
+                    "snapshot predates per-epoch bucket-count recording and "
+                    "this table has a rebucket() in its history — candidate-"
+                    "bucket pruning cannot be proven correct; diff "
+                    f"read_as_of({from_epoch}) vs read_as_of({to_epoch}) "
+                    "instead"
+                )
+            snap_nb = self.num_buckets
+        probe = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(int(snap_nb))
+        )
         cand = {
             str(r._b)
-            for r in w.select(self._bucket_expr().alias("_b")).distinct().collect()
+            for r in w.select(probe.alias("_b")).distinct().collect()
         }
         base_rels = [from_buckets[b] for b in sorted(cand) if b in from_buckets]
         delta_rels = [

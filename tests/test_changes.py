@@ -207,6 +207,59 @@ def test_read_changes_mor_across_schema_evolution(spark, tmp_path):
                    ("k2", "insert", "b", "y", 3)]
 
 
+def test_read_changes_mor_after_later_rebucket(spark, tmp_path):
+    """A rebucket() committed AFTER to_epoch changes the live bucket
+    count, but a changelog over the pre-rebucket range must still probe
+    the prior snapshot with the count that snapshot was written under —
+    otherwise prior rows are silently missed and updates misclassify as
+    inserts. Parity against a COW twin over the same stream."""
+    rows0 = [(f"k{i}", i, "u", f"v{i}") for i in range(40)]
+    rows1 = (
+        [(f"k{i}", 100 + i, "u", f"w{i}") for i in range(0, 40, 3)]  # updates
+        + [(f"n{i}", 200 + i, "u", f"x{i}") for i in range(5)]        # inserts
+        + [("k1", 300, "d", None)]                                     # delete
+    )
+    cow = BucketedMergeSink(spark, str(tmp_path / "c"), keys=["k"],
+                            order_col="lsn", num_buckets=4)
+    mor = BucketedMergeSink(spark, str(tmp_path / "m"), keys=["k"],
+                            order_col="lsn", num_buckets=4, merge_mode="mor")
+    for e, rows in enumerate([rows0, rows1]):
+        cow.merge(_batch(spark, rows), epoch=e)
+        mor.merge(_batch(spark, rows), epoch=e)
+    mor.rebucket(16)  # lands after to_epoch; live count no longer 4
+
+    got = sorted((r.k, r._change_type, r.v, r.lsn)
+                 for r in mor.read_changes(1, from_epoch=0).collect())
+    want = sorted((r.k, r._change_type, r.v, r.lsn)
+                  for r in cow.read_changes(1, from_epoch=0).collect())
+    assert got == want
+    assert ("k1", "delete", "v1", 1) in got  # pre-image delete survived
+
+
+def test_read_changes_mor_legacy_snapshot_refuses_after_rebucket(spark, tmp_path):
+    """Manifests written before per-epoch bucket-count recording can't
+    prove which count a snapshot used once a rebucket() exists — the
+    changelog must refuse rather than prune with the wrong count."""
+    import json, os
+
+    mor = BucketedMergeSink(spark, str(tmp_path / "m"), keys=["k"],
+                            order_col="lsn", num_buckets=4, merge_mode="mor")
+    mor.merge(_batch(spark, [("k1", 1, "u", "a")]), epoch=0)
+    mor.merge(_batch(spark, [("k1", 2, "u", "a2")]), epoch=1)
+    mor.rebucket(8)
+    # simulate a legacy manifest: strip the recorded per-epoch counts
+    mpath = os.path.join(str(tmp_path / "m"), "_manifest.json")
+    with open(mpath) as f:
+        man = json.load(f)
+    for e in man["epochs"]:
+        e.pop("num_buckets", None)
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    reopened = BucketedMergeSink.open(spark, str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="rebucket"):
+        reopened.read_changes(1, from_epoch=0)
+
+
 def test_read_changes_mor_from_none_after_compact(spark, tmp_path):
     """Diff-vs-empty (from_epoch=None) on a MOR sink whose history
     contains a compact() must still produce EVERY live row as an insert

@@ -223,3 +223,39 @@ def test_concurrent_commit_detected(spark, tmp_path):
     assert c.merge(typed.filter("lsn < 100"), epoch=0)["skipped"] is True
     c.merge(typed.filter("lsn >= 100"), epoch=1)
     assert sorted(c.committed_epochs()) == [0, 1]
+
+
+def test_envelope_sampler_corrupt_boundary_rows(spark):
+    """The pruned sampler picks LSNs off the 8-byte column only — if a
+    boundary row's envelope is null it must fall back to sampling among
+    NON-NULL envelopes (the one-job form), not silently lose the sample."""
+    from kafka_connect_converter_json_spark.streaming.ingest import (
+        observe_envelope_samples,
+        observe_envelope_samples_pruned,
+    )
+
+    rows = [(i, "u", f'{{"n":{i}}}') for i in range(1, 50)]
+    rows.append((0, "u", None))    # corrupt FIRST row (min lsn)
+    rows.append((50, "u", None))   # corrupt LAST row (max lsn)
+    df = spark.createDataFrame(rows, "lsn long, op string, value_json string")
+    got = observe_envelope_samples_pruned(df, "value_json", "lsn")
+    want = observe_envelope_samples(df, "value_json", "lsn")
+    assert got == want
+    assert '{"n":1}' in got and '{"n":49}' in got  # non-null boundaries kept
+
+
+def test_envelope_sampler_nonunique_order_col(spark):
+    """order_col collisions must not pull every colliding row to the
+    driver — the point-fetch is limit()-bounded and the result stays a
+    small distinct sample set."""
+    from kafka_connect_converter_json_spark.streaming.ingest import (
+        observe_envelope_samples_pruned,
+    )
+
+    # 500 rows all sharing lsn=7, plus distinct boundaries
+    rows = [(7, "u", f'{{"dup":{i}}}') for i in range(500)]
+    rows += [(1, "u", '{"first":1}'), (9, "u", '{"last":1}')]
+    df = spark.createDataFrame(rows, "lsn long, op string, value_json string")
+    got = observe_envelope_samples_pruned(df, "value_json", "lsn")
+    assert '{"first":1}' in got and '{"last":1}' in got
+    assert len(got) <= 4 * 6  # bounded by limit(4 * len(picked_lsns))

@@ -246,3 +246,21 @@ def test_y4m_through_spark_decode_and_frame_sample(spark):
     for i, r in px.items():
         assert (r.width, r.height) == (5, 3)
         assert bytes(r.y_plane) == frames[i].tobytes()
+
+
+def test_sample_frame_pixels_skips_corrupt_payloads(spark):
+    """One null / non-Y4M / truncated payload must not fail the stage —
+    corrupt video rows are skipped and valid rows still produce frames."""
+    rng = np.random.RandomState(12)
+    frames = [rng.randint(0, 256, size=(2, 4), dtype=np.uint8) for _ in range(2)]
+    good = mm.encode_y4m(frames)
+    rows = [
+        (1, "video", None, bytearray(good)),
+        (2, "video", None, None),                                  # null payload
+        (3, "video", None, bytearray(b"not a video at all")),      # wrong magic
+        (4, "video", None, bytearray(b"YUV4MPEG2 W4 H4\nFRAME\nxy")),  # truncated
+    ]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.sample_frame_pixels(df, every_n=1).collect()
+    assert {r.media_id for r in out} == {1}
+    assert sorted(r.frame_idx for r in out) == [0, 1]
