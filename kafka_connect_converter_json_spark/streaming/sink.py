@@ -98,8 +98,8 @@ class BucketedMergeSink:
         salted_merge: bool = False,
         salt_buckets: int = 32,
         sort_within_buckets: bool = False,
-        merge_mode: str = "cow",
-        compact_every: int | None = None,
+        merge_mode: str = "mor",
+        compact_every: int | None = 8,
         manifest_writer: ManifestWriter | None = None,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
@@ -130,20 +130,23 @@ class BucketedMergeSink:
         # default since hash-bucketing already spreads *key-space* skew.
         self.salted_merge = salted_merge
         self.salt_buckets = salt_buckets
-        # merge_mode: "cow" (default) rewrites every touched bucket per
-        # epoch — reads are a plain scan, writes pay O(touched table
-        # slice). "mor" (merge-on-read) writes only the epoch's
-        # LWW-reduced DELTA (deletes kept as tombstone markers) — writes
-        # pay O(batch), reads merge base + deltas until ``compact()``
-        # folds them down. MOR is the 10^10-event shape when epochs touch
-        # a large key fraction: epoch cost stops scaling with table size.
+        # merge_mode: "mor" (merge-on-read, the default) writes only the
+        # epoch's LWW-reduced DELTA (deletes kept as tombstone markers) —
+        # writes pay O(batch), reads merge base + deltas until
+        # ``compact()`` folds them down. It is the 10^10-event shape:
+        # epoch cost stops scaling with table size (measured 1.46x COW at
+        # 50M events), and it is the mode that holds the >=0.8 N->4N
+        # scaling target. "cow" (copy-on-write) rewrites every touched
+        # bucket per epoch — reads are a plain scan, writes pay
+        # O(touched table slice); right for read-heavy small tables.
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         self.merge_mode = merge_mode
         # compact_every (MOR only): auto-fold deltas once the pending
         # DELTA-EPOCH count reaches this — bounds read amplification
         # (reads merge O(compact_every) deltas at most) the way real MOR
-        # tables bound their delete-file chains. None = manual compact().
+        # tables bound their delete-file chains. None = manual compact();
+        # the default 8 keeps a default MOR sink's read path bounded.
         self.compact_every = compact_every
         # sort_within_buckets: cluster each bucket file by the merge keys
         # before write (Iceberg SORTED BY analogue). Costs one in-task

@@ -122,7 +122,11 @@ def test_time_travel_and_vacuum(spark, events, tmp_path):
     snapshot-read analogue); vacuum removes superseded COW files while
     the current state stays intact."""
     root = str(tmp_path / "tbl_tt")
-    sink = ingest(spark, events, root, N_EVENTS, n_epochs=4, num_buckets=8)
+    # explicitly copy-on-write: this test asserts COW's superseded
+    # per-epoch rewrites exist and are reclaimed (MOR appends deltas —
+    # nothing is superseded until compact())
+    sink = ingest(spark, events, root, N_EVENTS, n_epochs=4, num_buckets=8,
+                  merge_mode="cow")
     per = -(-N_EVENTS // 4)
     # state as of epoch 1 == independent replay of the first 2 epochs
     asof = sink.read_as_of(1).select("repo", "path", "commit", "lang", "content", "lsn").toPandas()

@@ -138,9 +138,14 @@ def test_mor_read_changes_matches_cow_on_stream(spark, events, tmp_path):
 
 def test_mode_mismatch_is_hard_error(spark, events, tmp_path):
     root = str(tmp_path / "mm")
-    ingest(spark, events, root, N, n_epochs=1, num_buckets=8, merge_mode="mor")
+    ingest(spark, events, root, N, n_epochs=1, num_buckets=8, merge_mode="cow")
+    # default-constructed sinks are merge-on-read: reopening a COW table
+    # without naming its mode must be a hard error, not a silent switch
     with pytest.raises(ValueError, match="merge_mode"):
         BucketedMergeSink(spark, root, keys=["repo", "path"], num_buckets=8)
+    with pytest.raises(ValueError, match="merge_mode"):
+        BucketedMergeSink(spark, str(tmp_path / "mm2"), keys=["repo", "path"],
+                          num_buckets=8, merge_mode="bogus")
 
 
 def test_mor_auto_compact_bounds_read_amplification(spark, events, tmp_path):
