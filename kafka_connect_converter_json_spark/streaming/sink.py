@@ -764,6 +764,15 @@ class BucketedMergeSink:
             return new.withColumn(ct, F.lit("insert"))
         if new is None:
             return old.withColumn(ct, F.lit("delete"))
+        return self._classify_state_diff(old, new)
+
+    def _classify_state_diff(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Full-outer diff of two table STATES (one live row per key,
+        tombstone-free) into changelog rows: insert / update_postimage /
+        delete (pre-image payload and order for deletes). A key whose
+        stored ``order_col`` is unchanged is not a change (LWW: one
+        version per key per state, monotone in ``order_col``)."""
+        ct = "_change_type"
         payload_cols = [c for c in new.columns if c not in self.keys and c != self.order_col]
         o = old.select(
             *[F.col(k).alias(f"_ok_{k}") for k in self.keys],
@@ -803,6 +812,21 @@ class BucketedMergeSink:
             )
         return out.select(*sel)
 
+    def _require_rels(self, rels: list[str]) -> None:
+        """Refuse with a clear error when snapshot files a changelog
+        needs were vacuum()ed away (bounded driver-side existence probe:
+        <= num_buckets + pending-delta dirs)."""
+        missing = sorted(
+            r for r in set(rels)
+            if not os.path.exists(os.path.join(self.root, r))
+        )
+        if missing:
+            raise ValueError(
+                "snapshot files were vacuumed away — the changelog over "
+                f"this range is no longer reconstructible (missing e.g. "
+                f"{missing[:3]})"
+            )
+
     def _snapshot(self, epoch: int | None) -> dict | None:
         if epoch is None:
             return None
@@ -823,11 +847,10 @@ class BucketedMergeSink:
         order for deletes); a tombstone for a key not live at
         ``from_epoch``, or a replayed stale version, is not a change.
 
-        Refuses ranges a ``compact()``/``rebucket()`` landed inside: the
-        folded deltas are gone from the ``to`` snapshot's list, so the
-        range changelog is no longer reconstructible from deltas — diff
-        ``read_as_of`` states instead, or take snapshots from one
-        maintenance generation."""
+        Ranges a ``compact()``/``rebucket()`` landed inside fall back to
+        diffing the two as-of snapshot states (COW-style classification,
+        O(states) instead of O(changed)) — same rows, higher cost; only
+        ranges whose snapshots ``vacuum()`` deleted refuse."""
         to_s = self._snapshot(to_epoch)
         from_s = self._snapshot(from_epoch)
         to_deltas = list(to_s.get("deltas", []))
@@ -854,14 +877,30 @@ class BucketedMergeSink:
         if set(from_deltas) - set(to_deltas) or (
             from_buckets != dict(to_s["buckets"])
         ):
-            raise ValueError(
-                "a compact()/rebucket() landed between the snapshots — the "
-                "range's deltas were folded into the base; diff read_as_of("
-                f"{from_epoch}) vs read_as_of({to_epoch}) instead"
+            # a compact()/rebucket() landed inside the range: the range's
+            # deltas were folded into a new base, so the O(changed)
+            # delta-only changelog is gone. Fall back to diffing the two
+            # as-of snapshot STATES (COW-style classification) — costs
+            # O(both states) instead of O(changed), but stays correct
+            # across any maintenance boundary. With auto-compaction on by
+            # default (compact_every), any long-lived changelog consumer
+            # hits this path, so refusing is not an option; refusal
+            # remains only for snapshots vacuum() actually deleted.
+            self._require_rels(
+                list(from_buckets.values()) + from_deltas
+                + list(to_s["buckets"].values()) + to_deltas
             )
+            old_state = self._merged_view(
+                list(from_buckets.values()), from_deltas
+            )
+            new_state = self._merged_view(
+                list(to_s["buckets"].values()), to_deltas
+            )
+            return self._classify_state_diff(old_state, new_state)
         new_rels = [r for r in to_deltas if r not in set(from_deltas)]
         if not new_rels:
             raise ValueError("snapshots are identical — no new deltas")
+        self._require_rels(new_rels + list(from_buckets.values()) + from_deltas)
         d = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, r) for r in new_rels]
         )

@@ -164,19 +164,42 @@ def test_read_changes_mor_matches_cow(spark, tmp_path):
         cow.read_changes(1, from_epoch=0).columns
 
 
-def test_read_changes_mor_refuses_compacted_range(spark, tmp_path):
-    sink = BucketedMergeSink(spark, str(tmp_path / "mc"), keys=["k"],
-                             order_col="lsn", num_buckets=4, merge_mode="mor")
-    sink.merge(_batch(spark, [("k1", 1, "u", "a")]), epoch=0)
-    sink.merge(_batch(spark, [("k1", 2, "u", "a2")]), epoch=1)
-    sink.compact()
-    sink.merge(_batch(spark, [("k2", 3, "u", "b")]), epoch=2)
-    # range straddling the compaction: deltas were folded away
-    with pytest.raises(ValueError, match="compact"):
-        sink.read_changes(2, from_epoch=0)
+def test_read_changes_mor_compaction_straddling_range(spark, tmp_path):
+    """A range a compact() landed inside can't be served from deltas
+    (they were folded into the base) — the changelog must fall back to
+    diffing the two as-of snapshot states and still emit exactly what a
+    COW twin over the same stream emits. With auto-compaction on by
+    default, every long-lived changelog consumer hits this path."""
+    batches = [
+        [("k1", 1, "u", "a"), ("k2", 2, "u", "b")],
+        [("k1", 3, "u", "a2"), ("k3", 4, "u", "c")],
+        [("k2", 5, "d", None), ("k4", 6, "u", "e")],
+    ]
+    mor = BucketedMergeSink(spark, str(tmp_path / "mc"), keys=["k"],
+                            order_col="lsn", num_buckets=4, merge_mode="mor",
+                            compact_every=None)
+    cow = BucketedMergeSink(spark, str(tmp_path / "cc"), keys=["k"],
+                            order_col="lsn", num_buckets=4, merge_mode="cow")
+    for e, rows in enumerate(batches[:2]):
+        mor.merge(_batch(spark, rows), epoch=e)
+        cow.merge(_batch(spark, rows), epoch=e)
+    mor.compact()  # folds e0-e1 deltas; range (0, 2] now straddles it
+    mor.merge(_batch(spark, batches[2]), epoch=2)
+    cow.merge(_batch(spark, batches[2]), epoch=2)
+
+    def chg(sink, to, frm):
+        df = sink.read_changes(to, from_epoch=frm)
+        return sorted((r.k, r._change_type, r.v, r.lsn) for r in df.collect())
+
+    for to, frm in [(2, 0), (2, 1)]:
+        assert chg(mor, to, frm) == chg(cow, to, frm), (to, frm)
     # identical snapshots still refuse
     with pytest.raises(ValueError, match="identical"):
-        sink.read_changes(2, from_epoch=2)
+        mor.read_changes(2, from_epoch=2)
+    # vacuumed-away snapshots still refuse
+    mor.vacuum()
+    with pytest.raises(ValueError, match="vacuum"):
+        mor.read_changes(1, from_epoch=0)
 
 
 def test_read_changes_mor_across_schema_evolution(spark, tmp_path):
