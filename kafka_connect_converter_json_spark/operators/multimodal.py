@@ -299,16 +299,19 @@ def decode_y4m(payload: bytes, feature_dim: int = 8) -> dict:
 
 def decode_media(payload: bytes, feature_dim: int = 8) -> dict:
     """Magic-byte dispatch to the real codecs. Raises NotImplementedError
-    for formats this container has no library for (JPEG/MP4/...)."""
+    for formats this container has no library for (MP4/...)."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload, feature_dim)
+    if payload[:2] == b"\xff\xd8":
+        from kafka_connect_converter_json_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload, feature_dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload, feature_dim)
     if payload[: len(Y4M_SIG)] == Y4M_SIG:
         return decode_y4m(payload, feature_dim)
     raise NotImplementedError(
-        "no codec for this payload (PNG, WAV and Y4M video decode in "
-        "pure stdlib; other formats need image/audio libraries absent "
+        "no codec for this payload (PNG, JPEG, WAV and Y4M video decode "
+        "in pure stdlib; other formats need image/audio libraries absent "
         "from this container — or pass fake=True for the deterministic "
         "stub)"
     )
@@ -452,10 +455,11 @@ def resize_media(
     downsample to fit ``max_dim`` -> re-encode PNG, through the same
     Arrow-batched mapInPandas seam as ``decode_features`` (size-class
     partitioning included — one giant image must not straggle a task of
-    icons). Real path handles PNG via the pure-stdlib codec; other image
-    formats raise at the codec seam. ``fake=True`` emits hash-derived
-    dims with the payload passed through (plumbing mode for non-PNG test
-    corpora)."""
+    icons). Real path handles PNG and JPEG via the pure-stdlib codecs
+    (thumbnails re-encode as PNG — lossless and simpler than re-running
+    a lossy JPEG pass); other image formats raise at the codec seam.
+    ``fake=True`` emits hash-derived dims with the payload passed
+    through (plumbing mode for non-PNG/JPEG test corpora)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col].map(lambda b: b"" if b is None else bytes(b))
@@ -466,7 +470,16 @@ def resize_media(
                 height = dims.map(lambda d: min(d["height"], max_dim))
             else:
                 def _one(p: bytes):
-                    px = resize_pixels(png_pixels(p), max_dim)
+                    if p[:2] == b"\xff\xd8":
+                        from kafka_connect_converter_json_spark.operators.jpeg import (
+                            decode_jpeg_pixels,
+                        )
+                        src = decode_jpeg_pixels(p)
+                        if src.ndim == 2:  # grayscale JPEG -> 1-channel PNG
+                            src = src[:, :, None]
+                    else:
+                        src = png_pixels(p)
+                    px = resize_pixels(src, max_dim)
                     return px.shape[0], px.shape[1], encode_png(px)
 
                 trip = payloads.map(_one)

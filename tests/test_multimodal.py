@@ -114,8 +114,12 @@ def test_real_codecs_through_spark(spark):
     assert (rows[1].width, rows[1].height, rows[1].n_frames) == (8, 6, 1)
     assert rows[2].n_frames == 300 and rows[2].width is None
     assert abs(sum(rows[1].features) - 1.0) < 1e-6
-    with pytest.raises(Exception, match="no codec"):
+    # JPEG magic now dispatches to the real decoder (tests/test_jpeg.py);
+    # a JPEG-magic payload with no valid segments is corrupt, not unknown
+    with pytest.raises(ValueError, match="SOF|marker"):
         mm.decode_media(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(Exception, match="no codec"):
+        mm.decode_media(b"GIF89a not supported")
 
 
 def test_fake_decode_deterministic_schema(media):
