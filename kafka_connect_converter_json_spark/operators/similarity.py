@@ -257,21 +257,51 @@ def lsh_bucket_topk(
 
 def ivf_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", lloyd_rounds: int = 0,
 ) -> list[list[float]]:
     """Deterministic IVF codebook: the ``n_centroids`` corpus vectors
-    with the smallest md5(id) (hash-random sample, ordered by the hash).
-    A Lloyd refinement would move the cells, but ANY fixed codebook is a
-    valid IVF-flat index — the hash rule makes it reproducible in every
-    engine with md5, with no RNG/iteration state. Driver-side collect of
-    n rows (IVF training is always a separate tiny phase)."""
+    with the smallest md5(id) (hash-random sample, ordered by the hash)
+    — ANY fixed codebook is a valid IVF-flat index, and the hash rule is
+    reproducible in every engine with md5, with no RNG state.
+
+    ``lloyd_rounds`` > 0 runs that many fixed k-means (Lloyd) updates:
+    assign every corpus vector to its nearest current centroid, replace
+    each centroid with its cell's elementwise mean (rounded to 6dp so
+    summation order cannot perturb downstream argmin ties), keep the old
+    centroid for empty cells. Hash-sampled codebooks are cell-imbalanced
+    on clustered corpora — hot cells degrade nprobe recall at scale —
+    and 2-3 rounds tighten that. Cost per round: ONE aggregation job
+    whose result is n_centroids x dim rows (driver-side codebooks are
+    always a tiny separate training phase); rounds=0 preserves the pure
+    hash rule."""
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(n_centroids)
         .collect()
     )
-    return [[float(x) for x in r._v] for r in rows]
+    cents = [[float(x) for x in r._v] for r in rows]
+    for _ in range(int(lloyd_rounds)):
+        darr = F.array(*[_sq_dist(F.col("_v"), c) for c in cents])
+        stats = (
+            corpus.select(F.col(vec_col).alias("_v"))
+            .select(
+                (F.array_position(darr, F.array_min(darr)) - 1).alias("_cell"),
+                F.posexplode(F.col("_v")).alias("_pos", "_x"),
+            )
+            .groupBy("_cell", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_mean"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in stats:
+            means.setdefault(int(r._cell), {})[int(r._pos)] = float(r._mean)
+        cents = [
+            [round(means[ci][p], 6) for p in range(len(cents[ci]))]
+            if ci in means else cents[ci]
+            for ci in range(len(cents))
+        ]
+    return cents
 
 
 def _sq_dist(vec, centroid: list[float]):
@@ -300,14 +330,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN top-k: corpus vectors are assigned to their nearest
     codebook cell (one pure projection — the cell id would be a partition
     column at 100 TB, giving cell-pruned scans); each query probes its
     ``nprobe`` nearest cells and exact cosine re-ranks only those cells'
     vectors. Probe cost ~ nprobe/n_centroids of the corpus per query.
-    Candidate generation moves ids only; vectors join back per candidate."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    Candidate generation moves ids only; vectors join back per candidate.
+    ``lloyd_rounds`` refines the codebook (see ``ivf_centroids``)."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, lloyd_rounds)
 
     def dist_array(vec):
         return F.array(*[_sq_dist(vec, c) for c in cents])
