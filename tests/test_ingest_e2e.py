@@ -263,3 +263,23 @@ def test_envelope_sampler_nonunique_order_col(spark):
     got = observe_envelope_samples_pruned(df, "value_json", "lsn")
     assert '{"first":1}' in got and '{"last":1}' in got
     assert len(got) <= 4 * 6  # bounded by limit(4 * len(picked_lsns))
+
+
+def test_pipelined_observe_parity(spark, events, oracle, tmp_path):
+    """Observation pipelining (prefetching epoch k+1's envelope samples +
+    schema inference under epoch k's merge) must be invisible: final
+    state AND the committed registry snapshot are byte-identical to the
+    serial form."""
+    from kafka_connect_converter_json_spark.plans.registry import SchemaRegistry
+
+    hashes, snaps = [], []
+    for tag, pipelined in (("pipe", True), ("serial", False)):
+        root = str(tmp_path / f"tbl_{tag}")
+        sink = ingest(
+            spark, events, root, N_EVENTS, n_epochs=4, num_buckets=8,
+            registry=SchemaRegistry(), pipeline_observe=pipelined,
+        )
+        hashes.append(_state_hash(_read_state(sink)))
+        snaps.append(sink.meta().get("registry"))
+    assert hashes[0] == hashes[1] == _state_hash(oracle)
+    assert snaps[0] == snaps[1]  # registry observed in epoch order either way
