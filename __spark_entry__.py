@@ -895,6 +895,54 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(kept, test_fraction=0.1).select("doc_id", "lang", "split")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: per-document duplicate-line
+    fraction and duplicate-line character fraction, as zero-shuffle
+    higher-order array functions."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram with
+    the deterministic doc_id%97==0 'benchmark' slice. Benchmark grams are
+    broadcast; the corpus text column never shuffles. (n=4 rather than
+    the production default n=8 because the synthetic corpus shares no
+    8-grams — a 0-row oracle row would verify nothing.)"""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import decontaminate
+
+    return decontaminate(_t(spark, sf_dir, "documents"), n=4, bench_mod=97)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: email/phone match counts and the md5 of
+    the redacted text (verifies the rewrite byte-for-byte without
+    shipping the payload)."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import pii_stats
+
+    return pii_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sampling: admit docs per language in
+    md5-priority order until a cumulative whitespace-token budget."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import token_budget_sample
+
+    return token_budget_sample(_t(spark, sf_dir, "documents"), budget=20000)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents per query term (Lucene idf formulation);
+    corpus stats travel as 1-row broadcasts, ranking is one per-term
+    window over score-bearing rows only."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=["data", "merge", "scan"], k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -960,6 +1008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identify_schema": q_identify_schema,
         "case_fold": q_case_fold,
         "tombstone_split": q_tombstone_split,
+        # round-5 additions — beyond the driver's 50-row window (like the
+        # three veterans above); verified by tools/check_contract.py.
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "token_budget": q_token_budget,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1776,5 +1831,99 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rk
               FROM documents
             ) WHERE rk <= 10
+        """,
+        "repetition": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(string_split(text, chr(10)), x -> trim(x) <> '') END AS lines
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(lines)::BIGINT AS n_lines,
+                     len(list_distinct(lines))::BIGINT AS n_distinct,
+                     coalesce(list_sum(list_transform(lines, x -> length(x))), 0)::BIGINT AS chars,
+                     coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)::BIGINT AS dchars
+              FROM l
+            )
+            SELECT doc_id, n_lines,
+                   round((n_lines - n_distinct) / greatest(n_lines, 1), 6) AS dup_line_frac,
+                   round((chars - dchars) / greatest(chars, 1), 6) AS dup_char_frac
+            FROM s
+        """,
+        "decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15) AS gram
+              FROM tok, UNNEST(range(1, len(toks) - 2)) AS u(i)
+              WHERE len(toks) >= 4
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            )
+            SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS matched_grams
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        """,
+        "pii_redact": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS email_count,
+                   len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::INT AS phone_count,
+                   md5(regexp_replace(
+                         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+            FROM documents
+        """,
+        "token_budget": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum_tokens
+              FROM t
+            ) WHERE cum_tokens <= 20000
+        """,
+        "bm25_topk": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS dl,
+                     lower(text) AS lt
+              FROM documents
+            ), long AS (
+              SELECT doc_id, dl, u.term,
+                     len(regexp_extract_all(lt, '\b' || u.term || '\b'))::INT AS tf
+              FROM base, UNNEST(['data', 'merge', 'scan']) AS u(term)
+            ), corpus AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM base
+            ), dfreq AS (
+              SELECT term, count(*)::BIGINT AS df_t FROM long WHERE tf > 0 GROUP BY term
+            ), scored AS (
+              SELECT l.term, l.doc_id,
+                     round(
+                       ln((c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+                       * (l.tf * 2.2)
+                       / (l.tf + 1.2 * (0.25 + 0.75 * l.dl * c.n_docs / c.sum_dl)),
+                       6) AS score
+              FROM long l JOIN dfreq d USING (term), corpus c
+              WHERE l.tf > 0
+            )
+            SELECT term, doc_id, score, rnk FROM (
+              SELECT term, doc_id, score,
+                     row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC)::INT AS rnk
+              FROM scored
+            ) WHERE rnk <= 20
         """,
     }
