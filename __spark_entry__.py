@@ -932,6 +932,37 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(_t(spark, sf_dir, "documents"), budget=20000)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (seq_len=512): every
+    document's global token span and spanned sequence-index range under
+    a deterministic md5-priority concatenation order. The global offset
+    is a two-level distributed prefix sum (256 md5-prefix buckets), so
+    no task ever holds more than ~1/256 of the stream."""
+    from kafka_connect_converter_json_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sampling: per-language token budgets from
+    mixture weights, admitted in md5-priority order."""
+    from kafka_connect_converter_json_spark.operators.packing import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        weights={"en": 0.5, "zh": 0.2, "es": 0.1, "de": 0.1, "fr": 0.1},
+        total_budget=10000,
+    )
+
+
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.7) multilingual sampling weights from
+    per-language token shares."""
+    from kafka_connect_converter_json_spark.operators.packing import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "documents"), tau=0.7)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents per query term (Lucene idf formulation);
     corpus stats travel as 1-row broadcasts, ranking is one per-term
@@ -1015,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "token_budget": q_token_budget,
         "bm25_topk": q_bm25_topk,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "temperature_weights": q_temperature_weights,
     }
 
 
@@ -1925,5 +1959,65 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC)::INT AS rnk
               FROM scored
             ) WHERE rnk <= 20
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS pri,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY pri, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS end_off
+              FROM t WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens,
+                   (end_off - n_tokens)::BIGINT AS start_off,
+                   end_off,
+                   ((end_off - n_tokens) // 512)::BIGINT AS first_seq,
+                   ((end_off - 1) // 512)::BIGINT AS last_seq,
+                   ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_seqs
+            FROM c
+        """,
+        "mixture_sample": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+                     (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+                                WHEN 'es' THEN 1000 WHEN 'de' THEN 1000
+                                WHEN 'fr' THEN 1000 END)::BIGINT AS budget
+              FROM documents
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens, budget FROM (
+              SELECT doc_id, lang, n_tokens, budget,
+                     sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum_tokens
+              FROM t
+            ) WHERE cum_tokens <= budget
+        """,
+        "temperature_weights": r"""
+            WITH agg AS (
+              SELECT lang,
+                     count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+              FROM documents GROUP BY lang
+            ), with_p AS (
+              SELECT lang, n_docs, n_tokens,
+                     n_tokens / (sum(n_tokens) OVER ())::DOUBLE AS p
+              FROM agg
+            )
+            SELECT lang, n_docs, n_tokens,
+                   round(p, 6) AS p_natural,
+                   round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS w_tau
+            FROM with_p
         """,
     }
