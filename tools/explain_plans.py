@@ -171,6 +171,26 @@ def main() -> None:
         ["SPARK_PARTITION_ID"],
     ))
 
+    # 13. sequence packing: the global token offset must NOT be a
+    # no-partition window (Exchange SinglePartition = one task holds the
+    # corpus). The distributed form shows the per-bucket window exchange
+    # plus the broadcast of the <=256-row exclusive-offset table.
+    plan13 = formatted(em.q_pack_sequences(spark, sf_dir))
+    sections.append((
+        "Sequence packing (two-level prefix sum: per-bucket window + broadcast offsets)",
+        plan13,
+        ["hashpartitioning(bucket", "BroadcastHashJoin"],
+    ))
+
+    # 14. decontamination: the benchmark gram set is the small side and
+    # must broadcast — the corpus text column never shuffles
+    plan14 = formatted(em.q_decontaminate(spark, sf_dir))
+    sections.append((
+        "Benchmark decontamination (broadcast gram set)",
+        plan14,
+        ["BroadcastHashJoin"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -213,6 +233,19 @@ def main() -> None:
         "Exact cosine top-k",
         "level-1 exchange keyed by (query_id, scan-partition id)",
         lvl1_spread,
+    ))
+    checks.append((
+        "Sequence packing", "no SinglePartition exchange (global offset never funnels)",
+        "SinglePartition" not in plan13,
+    ))
+    # the decontamination corpus side ships (doc_id, gram-hash) pairs at
+    # most — no exchange may carry the text column
+    decon_exchanges = [
+        ln for ln in plan14.splitlines() if "hashpartitioning(" in ln
+    ]
+    checks.append((
+        "Benchmark decontamination", "no exchange carries the text column",
+        all("text#" not in ln for ln in decon_exchanges),
     ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
