@@ -943,6 +943,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
 
 
+def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest (inverse packing view): per training sequence, the
+    document token slices that fill it — seq index, half-open doc slice,
+    offset inside the sequence, slice length."""
+    from kafka_connect_converter_json_spark.operators.packing import sequence_manifest
+
+    return sequence_manifest(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted training-mix sampling: per-language token budgets from
     mixture weights, admitted in md5-priority order."""
@@ -1047,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "bm25_topk": q_bm25_topk,
         "pack_sequences": q_pack_sequences,
+        "sequence_manifest": q_sequence_manifest,
         "mixture_sample": q_mixture_sample,
         "temperature_weights": q_temperature_weights,
     }
@@ -1982,6 +1992,34 @@ def oracle_sql() -> dict[str, str]:
                    ((end_off - 1) // 512)::BIGINT AS last_seq,
                    ((end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1)::BIGINT AS n_seqs
             FROM c
+        """,
+        "sequence_manifest": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS pri,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY pri, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS end_off
+              FROM t WHERE n_tokens > 0
+            ), spans AS (
+              SELECT doc_id, n_tokens, (end_off - n_tokens) AS start_off, end_off,
+                     unnest(generate_series((end_off - n_tokens) // 512,
+                                            (end_off - 1) // 512))::BIGINT AS seq_id
+              FROM c
+            )
+            SELECT seq_id, doc_id,
+                   (greatest(start_off, seq_id * 512) - start_off)::BIGINT AS doc_tok_start,
+                   (least(end_off, (seq_id + 1) * 512) - start_off)::BIGINT AS doc_tok_end,
+                   (greatest(start_off, seq_id * 512) - seq_id * 512)::BIGINT AS seq_off,
+                   (least(end_off, (seq_id + 1) * 512)
+                    - greatest(start_off, seq_id * 512))::BIGINT AS n_toks
+            FROM spans
         """,
         "mixture_sample": r"""
             WITH t AS (

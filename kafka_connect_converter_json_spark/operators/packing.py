@@ -105,6 +105,39 @@ def pack_sequences(
     )
 
 
+def sequence_manifest(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The inverse view of :func:`pack_sequences`: for every training
+    sequence, the document token slices that fill it — the shard
+    manifest a training data-loader actually consumes.
+
+    One row per (sequence, contributing document): the sequence index,
+    the half-open token slice of the document (``doc_tok_start`` /
+    ``doc_tok_end``), where the slice lands inside the sequence
+    (``seq_off``), and its length. Fan-out per document is
+    ``n_seqs <= n_tokens/seq_len + 1`` — proportional to data volume,
+    never quadratic.
+    """
+    packed = pack_sequences(df, seq_len=seq_len, id_col=id_col, text_col=text_col)
+    c = int(seq_len)
+    seq_id = F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias("seq_id")
+    rows = packed.select("doc_id", "start_off", "end_off", seq_id)
+    slice_start = F.greatest(F.col("start_off"), F.col("seq_id") * c)
+    slice_end = F.least(F.col("end_off"), (F.col("seq_id") + 1) * c)
+    return rows.select(
+        F.col("seq_id").cast("long"),
+        F.col("doc_id"),
+        (slice_start - F.col("start_off")).cast("long").alias("doc_tok_start"),
+        (slice_end - F.col("start_off")).cast("long").alias("doc_tok_end"),
+        (slice_start - F.col("seq_id") * c).cast("long").alias("seq_off"),
+        (slice_end - slice_start).cast("long").alias("n_toks"),
+    )
+
+
 def pack_sequences_single_window(
     df: DataFrame,
     seq_len: int = 2048,

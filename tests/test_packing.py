@@ -7,6 +7,7 @@ from kafka_connect_converter_json_spark.operators.packing import (
     mixture_sample,
     pack_sequences,
     pack_sequences_single_window,
+    sequence_manifest,
     temperature_weights,
 )
 
@@ -49,6 +50,36 @@ def test_pack_sequences_seq_indices(spark):
     row = pack_sequences(df, seq_len=4).collect()[0]
     assert (row.start_off, row.end_off) == (0, 5)
     assert (row.first_seq, row.last_seq, row.n_seqs) == (0, 1, 2)
+
+
+def test_sequence_manifest_tiles_every_sequence(spark):
+    df = _docs(spark, 60)
+    man = sequence_manifest(df, seq_len=8).collect()
+    total = sum(r.n_toks for r in man)
+    packed = pack_sequences(df, seq_len=8).collect()
+    assert total == sum(r.n_tokens for r in packed)
+    # within each sequence, slices tile [0, seq_len) with no gaps/overlap
+    by_seq = {}
+    for r in man:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    n_seqs = max(by_seq) + 1
+    for seq_id, rows in by_seq.items():
+        rows.sort(key=lambda r: r.seq_off)
+        pos = 0
+        for r in rows:
+            assert r.seq_off == pos
+            assert r.n_toks == r.doc_tok_end - r.doc_tok_start
+            pos += r.n_toks
+        if seq_id < n_seqs - 1:
+            assert pos == 8  # every non-final sequence is full
+
+
+def test_sequence_manifest_doc_slices_cover_doc(spark):
+    # a doc spanning 3 sequences is sliced into contiguous doc-token ranges
+    df = spark.createDataFrame([(1, " ".join(["t"] * 10))], "doc_id long, text string")
+    rows = sorted(sequence_manifest(df, seq_len=4).collect(), key=lambda r: r.seq_id)
+    assert [(r.doc_tok_start, r.doc_tok_end) for r in rows] == [(0, 4), (4, 8), (8, 10)]
+    assert [r.seq_off for r in rows] == [0, 0, 0]
 
 
 def test_mixture_sample_budgets_bind(spark):
