@@ -932,6 +932,23 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(_t(spark, sf_dir, "documents"), budget=20000)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: mean negative log prob of a
+    doc's tokens under the corpus's own unigram distribution."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing at the exact 1/3 and 2/3 LM-score
+    quantiles; thresholds from an exact percentile AGGREGATE broadcast
+    back, never a global ntile window."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import lm_buckets
+
+    return lm_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing (seq_len=512): every
     document's global token span and spanned sequence-index range under
@@ -1055,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "token_budget": q_token_budget,
         "bm25_topk": q_bm25_topk,
+        "unigram_logprob": q_unigram_logprob,
+        "lm_buckets": q_lm_buckets,
         "pack_sequences": q_pack_sequences,
         "sequence_manifest": q_sequence_manifest,
         "mixture_sample": q_mixture_sample,
@@ -1969,6 +1988,44 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC)::INT AS rnk
               FROM scored
             ) WHERE rnk <= 20
+        """,
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents WHERE trim(lower(text)) <> ''
+            ), counts AS (
+              SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term
+            ), total AS (
+              SELECT sum(cnt)::BIGINT AS total FROM counts
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(-ln(cnt / total::DOUBLE)), 6) AS nll
+            FROM toks JOIN counts USING (term), total
+            GROUP BY doc_id
+        """,
+        "lm_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents WHERE trim(lower(text)) <> ''
+            ), counts AS (
+              SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term
+            ), total AS (
+              SELECT sum(cnt)::BIGINT AS total FROM counts
+            ), per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(-ln(cnt / total::DOUBLE)), 6) AS nll
+              FROM toks JOIN counts USING (term), total
+              GROUP BY doc_id
+            ), cuts AS (
+              SELECT quantile_cont(nll, [1.0/3, 2.0/3]) AS q FROM per_doc
+            )
+            SELECT doc_id, n_tokens, nll,
+                   CASE WHEN nll <= q[1] THEN 'head'
+                        WHEN nll <= q[2] THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM per_doc, cuts
         """,
         "pack_sequences": r"""
             WITH t AS (

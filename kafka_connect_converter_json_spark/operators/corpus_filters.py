@@ -259,3 +259,67 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("term", id_col, "score", "rnk")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality score: the mean negative log
+    probability of a document's tokens under the corpus's own unigram
+    distribution (lower = more typical of the corpus, the proxy CCNet
+    uses a KenLM for). Tokens are lowercased whitespace tokens.
+
+    Scale shape: one explode to (doc_id, term), a term-count aggregate
+    with map-side combine (vocab-sized output), the 1-row total as a
+    broadcast, and a vocab join that Catalyst sizes (broadcast at small
+    vocab, sort-merge on the term key at corpus scale — same stance as
+    TF-IDF). Text never shuffles; scores are rounded to 6dp for
+    cross-engine parity.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = df.filter(t != "").select(
+        F.col(id_col), F.explode(F.split(t, r"\s+")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total")).withColumn("one", F.lit(1))
+    scored = (
+        toks.join(counts, "term")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(total), "one")
+        .withColumn("nlp", -F.log(F.col("cnt") / F.col("total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("nll"),
+    )
+
+
+def lm_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing by unigram LM score: documents
+    are split at the exact 1/3 and 2/3 score quantiles (continuous
+    interpolation — Spark ``percentile`` == DuckDB ``quantile_cont``).
+
+    The thresholds come from an exact percentile AGGREGATE (partial +
+    final reduce, two scalar results broadcast back) — NOT a global
+    ntile window, which would funnel the corpus through one task. Ties
+    across a threshold all land on the <= side, keeping the assignment
+    a pure function of the score.
+    """
+    scores = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    cuts = scores.agg(
+        F.expr("percentile(nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))").alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.lit(1).alias("one")
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("q1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.withColumn("one", F.lit(1))
+        .join(F.broadcast(cuts), "one")
+        .select(id_col, "n_tokens", "nll", bucket.alias("bucket"))
+    )

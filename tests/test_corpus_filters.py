@@ -111,3 +111,33 @@ def test_bm25_rare_term_higher_idf(spark):
     out = bm25_topk(df, terms=["common", "rare"], k=1).collect()
     scores = {r.term: r.score for r in out}
     assert scores["rare"] > scores["common"]
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    # doc 2 is made of rarer tokens than doc 1 -> higher mean NLL
+    rows = [(1, "a a a a"), (2, "b c"), (3, "a a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from kafka_connect_converter_json_spark.operators.corpus_filters import unigram_logprob
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    # corpus: a x6, b x2, c x1 (total 9)
+    import math
+    assert got[1].nll == pytest.approx(round(-math.log(6 / 9), 6), abs=1e-6)
+    assert got[2].nll == pytest.approx(
+        round((-math.log(2 / 9) - math.log(1 / 9)) / 2, 6), abs=1e-6)
+    assert got[2].nll > got[3].nll > got[1].nll
+    assert got[1].n_tokens == 4
+
+
+def test_lm_buckets_tercile_sizes(spark):
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i}"] * (i % 4))) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from kafka_connect_converter_json_spark.operators.corpus_filters import lm_buckets
+    out = lm_buckets(df).collect()
+    counts = {}
+    for r in out:
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    assert set(counts) == {"head", "middle", "tail"}
+    # head docs have lower nll than tail docs, pointwise by construction
+    max_head = max(r.nll for r in out if r.bucket == "head")
+    min_tail = min(r.nll for r in out if r.bucket == "tail")
+    assert max_head <= min_tail
