@@ -1,7 +1,7 @@
 """Local stand-in for the driver's correctness gate: runs every
 ``queries()`` entry against its ``oracle_sql()`` via DuckDB at a given
 scale factor, comparing row count, column names, and an order-insensitive
-value hash. Usage: python tools/check_contract.py [sf_dir] [only_query]"""
+value hash. Usage: python tools/check_contract.py [sf_dir] [query ...]"""
 
 from __future__ import annotations
 
@@ -39,7 +39,7 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[2:]) or None
 
     from pyspark.sql import SparkSession
 
@@ -65,7 +65,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         t0 = time.time()
         try:
