@@ -1000,6 +1000,54 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_docs_with_dups`` re-shaped into 4-token lines: the synthetic
+    text is flat (no newlines), so aligned 4-token windows of the
+    normalized token stream give a deterministic line structure both
+    engines construct identically — duplicated docs then share every
+    line and near-dup docs share all but the last, so cross-doc line
+    dedup has real work to do."""
+    d = _docs_with_dups(spark, sf_dir)
+    t = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    nlines = F.ceil(F.size(t) / F.lit(4)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+    )
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style cross-document boilerplate-line removal:
+    lines occurring in >= 2 documents are dropped from every document;
+    per-doc kept/removed counts plus the md5 of the cleaned payload."""
+    from kafka_connect_converter_json_spark.operators.curation import line_dedup
+
+    return line_dedup(_docs_with_lines(spark, sf_dir), min_docs=2)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (target = lang 'en' slice
+    vs the whole corpus, 1024 hash buckets, Laplace smoothing)."""
+    from kafka_connect_converter_json_spark.operators.curation import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), target_col="lang", target_value="en",
+        n_buckets=1024,
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings-with-duplicates union: IVF cell
+    assignment (8 md5-sampled centroids) + within-cell cosine >= 0.9
+    min-id-survivor dedup."""
+    from kafka_connect_converter_json_spark.operators.curation import semantic_dedup
+
+    return semantic_dedup(
+        _emb_with_dups(spark, sf_dir), n_centroids=8, threshold=0.9
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1078,6 +1126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_manifest": q_sequence_manifest,
         "mixture_sample": q_mixture_sample,
         "temperature_weights": q_temperature_weights,
+        "line_dedup": q_line_dedup,
+        "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2097,6 +2148,108 @@ def oracle_sql() -> dict[str, str]:
                      )::BIGINT AS cum_tokens
               FROM t
             ) WHERE cum_tokens <= budget
+        """,
+        "line_dedup": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            tok AS (
+              SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS t FROM docs
+            ),
+            lined AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(range(0, (len(t) + 3) // 4),
+                       i -> array_to_string(t[i*4+1 : i*4+4], ' ')), chr(10)) AS text
+              FROM tok
+            ),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(string_split(text, chr(10)), x -> trim(x) <> '') END AS lines
+              FROM lined
+            ),
+            e AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(lines,
+                       x -> (('0x' || substr(md5(trim(x)), 1, 15))::UBIGINT)::BIGINT))) AS h
+              FROM l
+            ),
+            dup AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+            dd AS (SELECT e.doc_id, list(e.h) AS dup_set FROM e JOIN dup USING (h) GROUP BY e.doc_id),
+            k AS (
+              SELECT l.doc_id, lines,
+                     list_filter(lines, x -> NOT list_contains(
+                       coalesce(dd.dup_set, CAST([] AS BIGINT[])),
+                       (('0x' || substr(md5(trim(x)), 1, 15))::UBIGINT)::BIGINT)) AS kept
+              FROM l LEFT JOIN dd USING (doc_id)
+            )
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   (len(lines) - len(kept))::BIGINT AS n_removed,
+                   md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+            FROM k
+        """,
+        "dsir_weights": r"""
+            WITH tok AS (
+              SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ),
+            bk AS (
+              SELECT doc_id, lang,
+                     ((('0x' || substr(md5(term), 1, 15))::UBIGINT)::BIGINT) % 1024 AS b
+              FROM tok
+            ),
+            raw AS (SELECT b, count(*)::BIGINT AS cnt_r FROM bk GROUP BY b),
+            tgt AS (SELECT b, count(*)::BIGINT AS cnt_t FROM bk WHERE lang = 'en' GROUP BY b),
+            stats AS (
+              SELECT raw.b, cnt_r, coalesce(cnt_t, 0)::BIGINT AS cnt_t
+              FROM raw LEFT JOIN tgt USING (b)
+            ),
+            tot AS (SELECT sum(cnt_r)::BIGINT AS tot_r, sum(cnt_t)::BIGINT AS tot_t FROM stats),
+            feat AS (
+              SELECT b,
+                     ln((cnt_t + 1) / (tot_t + 1024)::DOUBLE)
+                     - ln((cnt_r + 1) / (tot_r + 1024)::DOUBLE) AS llr
+              FROM stats, tot
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(llr), 6) AS dsir_w
+            FROM bk JOIN feat USING (b) GROUP BY doc_id
+        """,
+        "semantic_dedup": """
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_concat([(embedding[1] * 2.0)::FLOAT], embedding[2:64]) AS embedding
+              FROM embeddings WHERE vec_id % 5 = 0
+            ),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+                     embedding AS cv
+              FROM emb ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+            ),
+            cd AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_sum(list_transform(range(1, 65), d ->
+                       (CAST(e.embedding[d] AS DOUBLE) - CAST(c.cv[d] AS DOUBLE))
+                       * (CAST(e.embedding[d] AS DOUBLE) - CAST(c.cv[d] AS DOUBLE)))), 6) AS dist
+              FROM emb e CROSS JOIN cent c
+            ),
+            cells AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cid::INT AS cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM cd
+              ) WHERE rn = 1
+            ),
+            dup AS (
+              SELECT DISTINCT a.vec_id
+              FROM cells a
+              JOIN cells b2 ON a.cell = b2.cell AND b2.vec_id < a.vec_id
+              JOIN emb ea ON ea.vec_id = a.vec_id
+              JOIN emb eb ON eb.vec_id = b2.vec_id
+              WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) >= 0.9
+            )
+            SELECT c.vec_id, c.cell,
+                   (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+            FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
         """,
         "temperature_weights": r"""
             WITH agg AS (

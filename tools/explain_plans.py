@@ -191,6 +191,37 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    # 15. cross-doc line dedup: the duplicate-line census groups 60-bit
+    # hashes — its exchange must not carry the text/lines payload (text
+    # moves only in the final id-keyed join back to the corpus)
+    plan15 = formatted(em.q_line_dedup(spark, sf_dir))
+    sections.append((
+        "Cross-document line dedup (hash-only census shuffle)",
+        plan15,
+        ["hashpartitioning(h", "partial_count"],
+    ))
+
+    # 16. DSIR importance weights: the <=1024-row feature table must
+    # broadcast into the scoring pass
+    plan16 = formatted(em.q_dsir_weights(spark, sf_dir))
+    sections.append((
+        "DSIR importance weights (broadcast feature table)",
+        plan16,
+        ["BroadcastHashJoin"],
+    ))
+
+    # 17. SemDeDup: the within-cell pair comparison must be an equi-join
+    # KEYED by the cell id (cosine/id predicates as residual condition) —
+    # never a nested-loop / cartesian product. At sf0.01 Catalyst
+    # broadcasts one side (correct); at corpus scale the same keys give a
+    # sort-merge join partitioned by cell.
+    plan17 = formatted(em.q_semantic_dedup(spark, sf_dir))
+    sections.append((
+        "SemDeDup (cell-keyed equi-join for the quadratic compare)",
+        plan17,
+        ["Left keys [1]: [cell#"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -246,6 +277,19 @@ def main() -> None:
     checks.append((
         "Benchmark decontamination", "no exchange carries the text column",
         all("text#" not in ln for ln in decon_exchanges),
+    ))
+    # the line-dedup census exchange moves 60-bit hashes only
+    census_exchanges = [
+        ln for ln in plan15.splitlines() if "hashpartitioning(h#" in ln
+    ]
+    checks.append((
+        "Cross-document line dedup", "census exchange carries no text/lines",
+        bool(census_exchanges)
+        and all("text#" not in ln and "_lines#" not in ln for ln in census_exchanges),
+    ))
+    checks.append((
+        "SemDeDup", "no nested-loop/cartesian pair comparison",
+        not any(m in plan17 for m in ("BroadcastNestedLoopJoin", "CartesianProduct")),
     ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
