@@ -1037,6 +1037,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (Lee et al. 2022) over the dup-union
+    corpus: every token covered by a 4-token span occurring >= 2 times
+    corpus-wide (within- or cross-document) is dropped; output is the
+    per-doc removal accounting + md5 of the surviving tokens."""
+    from kafka_connect_converter_json_spark.operators.curation import remove_dup_spans
+
+    return remove_dup_spans(_docs_with_dups(spark, sf_dir), k=4, min_count=2)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings-with-duplicates union: IVF cell
     assignment (8 md5-sampled centroids) + within-cell cosine >= 0.9
@@ -1129,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "remove_dup_spans": q_remove_dup_spans,
     }
 
 
@@ -2211,6 +2222,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(llr), 6) AS dsir_w
             FROM bk JOIN feat USING (b) GROUP BY doc_id
+        """,
+        "remove_dup_spans": f"""
+            WITH docs AS ({_dup_union_sql()}),
+            tok AS (
+              SELECT doc_id,
+                     CASE WHEN {_NORM.format(c='text')} = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split({_NORM.format(c='text')}, ' ') END AS t
+              FROM docs
+            ),
+            sp AS (
+              SELECT doc_id, t,
+                     list_transform(range(0, greatest(len(t) - 3, 0)),
+                       j -> (('0x' || substr(md5(array_to_string(t[j+1 : j+4], ' ')), 1, 15))::UBIGINT)::BIGINT) AS sh
+              FROM tok
+            ),
+            e AS (SELECT doc_id, unnest(sh) AS h FROM sp),
+            dup AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+            dd AS (SELECT e.doc_id, list(DISTINCT e.h) AS dup_set FROM e JOIN dup USING (h) GROUP BY e.doc_id),
+            c AS (
+              SELECT sp.doc_id, t, sh,
+                     coalesce(dd.dup_set, CAST([] AS BIGINT[])) AS dup_set
+              FROM sp LEFT JOIN dd USING (doc_id)
+            ),
+            cov AS (
+              SELECT doc_id, t,
+                     list_distinct(flatten(list_transform(
+                       list_filter(range(0, len(sh)), j -> list_contains(dup_set, sh[j+1])),
+                       j -> range(j, j + 4)))) AS covered
+              FROM c
+            ),
+            kept AS (
+              SELECT doc_id, t,
+                     list_filter(range(0, len(t)), i -> NOT list_contains(covered, i)) AS ki
+              FROM cov
+            )
+            SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                   (len(t) - len(ki))::BIGINT AS n_removed,
+                   md5(coalesce(array_to_string(list_transform(ki, i -> t[i+1]), ' '), '')) AS clean_md5
+            FROM kept
         """,
         "semantic_dedup": """
             WITH emb AS (

@@ -102,6 +102,81 @@ def line_dedup(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-span REMOVAL (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every token covered by a
+    k-token span whose corpus-wide occurrence count is >= ``min_count``
+    (within- OR cross-document) is removed. This is the removal half of
+    the ``dup_spans`` detector (textdedup.py) — the rolling-window
+    census is the scalable stand-in for the paper's suffix array.
+
+    Returns one row per document: token counts before/after and the
+    md5 of the space-joined surviving tokens.
+
+    Scale shape: the span census shuffles 60-bit hashes only (map-side
+    partial counts); each doc's duplicated-span set returns as an
+    id-keyed array; the coverage mask and token filtering are
+    zero-shuffle higher-order functions over the per-row arrays.
+    """
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+    n = F.size(toks)
+    m = n - k + 1  # number of k-token span starts (may be <= 0)
+    span_starts = F.when(m >= 1, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        span_starts, lambda j: _h60(F.array_join(F.slice(toks, j + 1, k), " "))
+    )
+
+    base = df.select(F.col(id_col), toks.alias("_toks"), spans.alias("_spans"))
+    exploded = base.select(F.col(id_col), F.explode("_spans").alias("h"))
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    doc_dup = (
+        exploded.join(dup, "h").groupBy(id_col).agg(F.collect_set("h").alias("_dup"))
+    )
+
+    j = (
+        base.join(doc_dup, id_col, "left")
+        .withColumn("_dup", F.coalesce(F.col("_dup"), F.array().cast("array<long>")))
+    )
+    flagged = F.filter(
+        F.when(
+            F.size("_spans") >= 1, F.sequence(F.lit(0), F.size("_spans") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda jj: F.array_contains(F.col("_dup"), F.get("_spans", jj)),
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform(flagged, lambda jj: F.sequence(jj, jj + k - 1)))
+    )
+    kept_idx = F.filter(
+        F.when(
+            F.size("_toks") >= 1, F.sequence(F.lit(0), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: ~F.array_contains(covered, i),
+    )
+    clean = F.array_join(F.transform(kept_idx, lambda i: F.get("_toks", i)), " ")
+    return j.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept_idx)).cast("long").alias("n_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_col: str = "lang",

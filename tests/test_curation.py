@@ -9,6 +9,7 @@ import pytest
 from kafka_connect_converter_json_spark.operators.curation import (
     dsir_weights,
     line_dedup,
+    remove_dup_spans,
     semantic_dedup,
 )
 
@@ -72,6 +73,60 @@ def test_line_dedup_partitioning_independent(spark):
     a = sorted(map(tuple, line_dedup(df.repartition(1)).collect()))
     b = sorted(map(tuple, line_dedup(df.repartition(8)).collect()))
     assert a == b
+
+
+def test_remove_dup_spans_cross_and_within_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # shares span "a b c d" with doc 2
+            (2, "x y a b c d z"),
+            (3, "u v w p q r s"),   # unique -> untouched
+            (4, "m m m m m m"),     # within-doc repeated span -> fully covered
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=4).collect()}
+    assert (out[1].n_tokens, out[1].n_removed) == (7, 4)
+    assert out[1].clean_md5 == _md5("e f g")
+    assert out[2].clean_md5 == _md5("x y z")
+    assert out[3].n_removed == 0
+    assert out[3].clean_md5 == _md5("u v w p q r s")
+    assert (out[4].n_tokens, out[4].n_removed) == (6, 6)
+    assert out[4].clean_md5 == _md5("")
+
+
+def test_remove_dup_spans_overlapping_coverage_union(spark):
+    # docs share two OVERLAPPING 3-spans; covered tokens are the union
+    # of span extents, not double-removed
+    df = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "p q r s u"), (3, "zz yy xx ww vv")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=3).collect()}
+    # shared spans: "p q r" and "q r s" -> covers tokens 0..3 in both
+    assert out[1].n_removed == 4 and out[1].clean_md5 == _md5("t")
+    assert out[2].n_removed == 4 and out[2].clean_md5 == _md5("u")
+    assert out[3].n_removed == 0
+
+
+def test_remove_dup_spans_short_and_blank_docs(spark):
+    # docs shorter than k have no spans and are never removed
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=4).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_md5 == _md5("one two")
+    assert out[3].n_tokens == 0 and out[3].clean_md5 == _md5("")
+
+
+def test_remove_dup_spans_partitioning_independent(spark):
+    data = [(i, f"common lead in phrase body {i % 9} tail") for i in range(40)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    a = sorted(map(tuple, remove_dup_spans(df.repartition(1), k=4).collect()))
+    b = sorted(map(tuple, remove_dup_spans(df.repartition(8), k=4).collect()))
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # the shared lead-in actually fires
 
 
 def test_dsir_weights_prefers_target_like_docs(spark):

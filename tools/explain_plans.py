@@ -222,6 +222,15 @@ def main() -> None:
         ["Left keys [1]: [cell#"],
     ))
 
+    # 18. duplicate-span removal: like line dedup, the span census must
+    # shuffle 60-bit hashes only — token arrays never enter an exchange
+    plan18 = formatted(em.q_remove_dup_spans(spark, sf_dir))
+    sections.append((
+        "Duplicate-span removal (hash-only span census)",
+        plan18,
+        ["hashpartitioning(h", "partial_count"],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -290,6 +299,15 @@ def main() -> None:
     checks.append((
         "SemDeDup", "no nested-loop/cartesian pair comparison",
         not any(m in plan17 for m in ("BroadcastNestedLoopJoin", "CartesianProduct")),
+    ))
+    span_exchanges = [
+        ln for ln in plan18.splitlines() if "hashpartitioning(h#" in ln
+    ]
+    checks.append((
+        "Duplicate-span removal", "census exchange carries no text/tokens",
+        bool(span_exchanges)
+        and all("text#" not in ln and "_toks#" not in ln and "_spans#" not in ln
+                for ln in span_exchanges),
     ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
