@@ -1037,6 +1037,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rule bundle (Rae et al. 2021 A1.1): per-rule
+    signals + the pass conjunction. The oracled row runs the stop-word
+    rule at min_stop_hits=1 rather than the production default 2,
+    because the synthetic word-salad corpus almost never contains two
+    distinct members of the Gopher stop list — at 2 every doc fails and
+    the conjunction verifies nothing (same disclosure pattern as
+    decontaminate's n=4); at 1 the 50-word floor AND the stop rule both
+    bind, so the flag splits the corpus."""
+    from kafka_connect_converter_json_spark.operators.corpus_filters import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_stop_hits=1)
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span REMOVAL (Lee et al. 2022) over the dup-union
     corpus: every token covered by a 4-token span occurring >= 2 times
@@ -1140,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "remove_dup_spans": q_remove_dup_spans,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -2222,6 +2237,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(llr), 6) AS dsir_w
             FROM bk JOIN feat USING (b) GROUP BY doc_id
+        """,
+        "gopher_rules": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+') END AS words,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(string_split(text, chr(10)), x -> trim(x) <> '') END AS lines
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text, words, lines,
+                     len(words)::BIGINT AS n_words,
+                     greatest(len(words), 1)::DOUBLE AS safe_w,
+                     greatest(len(lines), 1)::DOUBLE AS safe_l,
+                     coalesce(list_sum(list_transform(words, x -> length(x))), 0)::BIGINT AS wchars,
+                     (length(regexp_replace(text, '[^#]', '', 'g'))
+                      + len(regexp_extract_all(text, '\.\.\.|…')))::BIGINT AS symbols,
+                     list_transform(words, x -> lower(x)) AS lowered
+              FROM w
+            ),
+            r AS (
+              SELECT doc_id, n_words,
+                     round(wchars / safe_w, 6) AS mean_word_len,
+                     round(symbols / safe_w, 6) AS symbol_ratio,
+                     round(len(list_filter(lines, x -> regexp_matches(trim(x), '^([•\-\*])'))) / safe_l, 6) AS bullet_frac,
+                     round(len(list_filter(lines, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) / safe_l, 6) AS ellipsis_frac,
+                     round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / safe_w, 6) AS alpha_word_frac,
+                     (CASE WHEN list_contains(lowered, 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'be') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'that') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'have') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(lowered, 'with') THEN 1 ELSE 0 END)::INT AS n_stop_hits
+              FROM s
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                   ellipsis_frac, alpha_word_frac, n_stop_hits,
+                   (CASE WHEN n_words >= 50 AND n_words <= 100000
+                          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                          AND symbol_ratio <= 0.1
+                          AND bullet_frac <= 0.9
+                          AND ellipsis_frac <= 0.3
+                          AND alpha_word_frac >= 0.8
+                          AND n_stop_hits >= 1
+                     THEN 1 ELSE 0 END)::INT AS passes
+            FROM r
         """,
         "remove_dup_spans": f"""
             WITH docs AS ({_dup_union_sql()}),

@@ -323,3 +323,96 @@ def lm_buckets(
         .join(F.broadcast(cuts), "one")
         .select(id_col, "n_tokens", "nll", bucket.alias("bucket"))
     )
+
+
+# The Gopher rule-set stop words (Rae et al. 2021, A1.1): a doc must
+# contain at least GOPHER_MIN_STOP_HITS distinct members to pass.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher quality rule bundle (Rae et al. 2021, Appendix A1.1)
+    as per-rule signals plus the conjunction: word-count bounds, mean
+    word length in [3, 10], symbol-to-word ratio (# / ellipsis) <= 0.1,
+    bullet-line fraction <= 0.9, ellipsis-line-ending fraction <= 0.3,
+    alphabetic-word fraction >= 0.8, and >= 2 distinct English stop
+    words present. Unlike ``quality_score`` (a blended scalar), this is
+    the published *filter* — per-rule booleans let a pipeline report
+    WHY a document was dropped.
+
+    Pure projection: every signal is a higher-order function over the
+    per-row token/line arrays — zero shuffle, embarrassingly parallel
+    at any corpus size. Ratios are rounded to 6dp for engine parity.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n_words = F.size(words).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.round(word_chars / safe_words, 6)
+    symbols = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^#]", ""))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    ).cast("long")
+    symbol_ratio = F.round(symbols / safe_words, 6)
+    lines = _nonblank_lines(F.col(text_col))
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda x: F.trim(x).rlike(r"^([•\-\*])"))
+        )
+        / safe_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+        / safe_lines,
+        6,
+    )
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / safe_words, 6
+    )
+    lowered = F.transform(words, F.lower)
+    n_stop_hits = (
+        F.aggregate(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.array_contains(lowered, s), 1).otherwise(0),
+        )
+    ).cast("int")
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_word_frac >= 0.8)
+        & (n_stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop_hits.alias("n_stop_hits"),
+        F.when(passes, F.lit(1)).otherwise(F.lit(0)).alias("passes"),
+    )

@@ -141,3 +141,49 @@ def test_lm_buckets_tercile_sizes(spark):
     max_head = max(r.nll for r in out if r.bucket == "head")
     min_tail = min(r.nll for r in out if r.bucket == "tail")
     assert max_head <= min_tail
+
+
+def test_gopher_rules_well_formed_doc_passes(spark):
+    from kafka_connect_converter_json_spark.operators.corpus_filters import gopher_rules
+
+    words = ("the quick brown fox jumps over lazy dogs with great energy and " * 6).split()
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = gopher_rules(df).collect()[0]
+    assert row.passes == 1
+    assert row.n_words == len(words) >= 50
+    assert 3.0 <= row.mean_word_len <= 10.0
+    assert row.n_stop_hits >= 2  # the, with, and
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from kafka_connect_converter_json_spark.operators.corpus_filters import gopher_rules
+
+    base = ("the quick brown fox jumps over lazy dogs with some energy and " * 6).strip()
+    docs = [
+        (1, "too short of the and"),                        # word-count floor
+        (2, " ".join(["pneumonoultramicroscopics"] * 60) + " the and"),  # mean word len > 10
+        (3, base + " " + " ".join(["#"] * 20)),             # symbol ratio > 0.1
+        (4, "\n".join(["- bullet point the and of item"] * 10)),  # bullet frac (10 words/line < 50 total? 7*10=70 ok)
+        (5, " ".join(["12345"] * 70) + " the and"),          # alpha-word frac < 0.8
+        (6, " ".join(["lorem", "ipsum", "dolor", "sitam"] * 20)),  # zero stop words
+        (7, base),                                           # control: passes
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].passes == 0 and out[1].n_words < 50
+    assert out[2].passes == 0 and out[2].mean_word_len > 10
+    assert out[3].passes == 0 and out[3].symbol_ratio > 0.1
+    assert out[4].passes == 0 and out[4].bullet_frac > 0.9
+    assert out[5].passes == 0 and out[5].alpha_word_frac < 0.8
+    assert out[6].passes == 0 and out[6].n_stop_hits == 0
+    assert out[7].passes == 1
+
+
+def test_gopher_rules_ellipsis_and_blank(spark):
+    from kafka_connect_converter_json_spark.operators.corpus_filters import gopher_rules
+
+    ell = "\n".join(["the fox ran with more speed and energy today..."] * 8)
+    df = spark.createDataFrame([(1, ell), (2, "   ")], "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
+    assert out[1].ellipsis_frac == 1.0 and out[1].passes == 0
+    assert out[2].n_words == 0 and out[2].passes == 0
