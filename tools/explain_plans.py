@@ -231,6 +231,19 @@ def main() -> None:
         ["hashpartitioning(h", "partial_count"],
     ))
 
+    # 19. code-payload filters: pure projections — the whole family must
+    # plan ZERO exchanges (the content column never moves)
+    plan19 = "\n\n".join(
+        formatted(q(spark, sf_dir))
+        for q in (em.q_code_quality, em.q_license_scan, em.q_secret_scan,
+                  em.q_comment_stats)
+    )
+    sections.append((
+        "Code filters (quality/license/secret/comment): zero-shuffle projections",
+        plan19,
+        [],
+    ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -299,6 +312,10 @@ def main() -> None:
     checks.append((
         "SemDeDup", "no nested-loop/cartesian pair comparison",
         not any(m in plan17 for m in ("BroadcastNestedLoopJoin", "CartesianProduct")),
+    ))
+    checks.append((
+        "Code filters", "no Exchange in any of the 4 plans",
+        "Exchange" not in plan19,
     ))
     span_exchanges = [
         ln for ln in plan18.splitlines() if "hashpartitioning(h#" in ln
