@@ -349,6 +349,8 @@ def ingest(
     epoch_source=None,
     quarantine: bool = False,
     pipeline_observe: bool = True,
+    epoch_offset: int = 0,
+    lsn_lo: int = 0,
     **sink_kwargs,
 ) -> BucketedMergeSink:
     """Replay ``events`` into the sink in ``n_epochs`` LSN-range epochs.
@@ -364,6 +366,12 @@ def ingest(
     thread while the current epoch's merge runs, removing ~3 driver
     round-trips of serial time per epoch; parity-tested byte-identical
     to the serial form (test_pipelined_observe_parity).
+    ``epoch_offset``/``lsn_lo`` shift the epoch ids and the LSN window
+    start so a binlog TAIL can continue a sink whose earlier epochs were
+    committed by another phase (snapshot bootstrap — see
+    ``streaming.bootstrap``): epochs get ids ``epoch_offset ..
+    epoch_offset + n_epochs - 1`` and cover LSNs ``[lsn_lo, n_events)``.
+    Defaults (0, 0) preserve the original single-phase behavior exactly.
     """
     config = config or default_config()
     registry = registry or SchemaRegistry()
@@ -381,13 +389,16 @@ def ingest(
         for name, st in SchemaRegistry.from_json(stored_registry).items():
             registry.observe(name, st)
 
-    per_epoch = max(1, -(-n_events // n_epochs))  # ceil
+    per_epoch = max(1, -(-(n_events - lsn_lo) // n_epochs))  # ceil
     done = 0
     committed = sink.committed_epochs()
-    todo = [e for e in range(n_epochs) if e not in committed]
+    todo = [
+        e for e in range(epoch_offset, epoch_offset + n_epochs) if e not in committed
+    ]
 
     def _epoch_batch(epoch: int) -> DataFrame:
-        lo, hi = epoch * per_epoch, (epoch + 1) * per_epoch
+        rel = epoch - epoch_offset
+        lo, hi = lsn_lo + rel * per_epoch, lsn_lo + (rel + 1) * per_epoch
         if epoch_source is not None:
             return epoch_source(lo, hi)
         return events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
@@ -427,7 +438,7 @@ def ingest(
                     registry.observe("SourceChange", inferred)
                 env_schema = registry.get("SourceChange")
                 if env_schema is None:
-                    raise ValueError("no envelope observed — empty epoch 0 with no registry state")
+                    raise ValueError("no envelope observed — empty first epoch with no registry state")
                 if pool is not None and idx + 1 < len(todo):
                     nxt = todo[idx + 1]
                     prefetched[nxt] = pool.submit(_observe, _epoch_batch(nxt))
