@@ -35,6 +35,16 @@ Scale shape: each snapshot chunk is a plain bucket-partitioned MERGE of
 ~|table|/chunks rows — no shuffle beyond the sink's own bucket
 repartition, no driver materialization; the chunk filter is a pure
 projection Catalyst pushes into the snapshot scan.
+
+Deliberate non-feature: the snapshot phase completes BEFORE the tail
+starts (Debezium's classic initial mode), not interleaved with it
+(DBLog / Debezium incremental snapshots). Interleaving would let a
+lower-LSN chunk row merge AFTER a higher-LSN delete — and this sink
+drops delete history at COW merge / MOR compaction (by design: retained
+tombstones are a per-key cost forever), so the late chunk row would
+resurrect the key. Sequential phases make LWW sufficient; a 10^10-row
+initial load is still chunk-resumable, which is the property that
+matters at that scale.
 """
 
 from __future__ import annotations
