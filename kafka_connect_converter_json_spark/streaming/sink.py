@@ -726,13 +726,26 @@ class BucketedMergeSink:
                 return dict(e["buckets"])
         raise ValueError(f"epoch {epoch} is not committed")
 
-    def read_changes(self, to_epoch: int, from_epoch: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        to_epoch: int,
+        from_epoch: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """Incremental changelog between two committed snapshots — the
         change-data-feed analogue (Iceberg incremental read / Delta CDF).
         Rows: keys + ``_change_type`` (insert | update_postimage |
         delete) + the post-image payload (pre-image for deletes) +
         ``order_col``. ``from_epoch=None`` diffs against the empty table
         (everything is an insert).
+
+        ``include_preimages=True`` additionally emits an
+        ``update_preimage`` row (prior payload + prior ``order_col``)
+        for every update — the Delta-CDF pairing a downstream
+        incremental consumer needs to SUBTRACT a key's old contribution
+        (see ``streaming/view.py``), and the only way to learn the OLD
+        value of a changed grouping column. Default off: the original
+        one-row-per-change shape is unchanged.
 
         Scale property: copy-on-write means an untouched bucket keeps the
         IDENTICAL file path across snapshots, so only buckets whose path
@@ -741,7 +754,7 @@ class BucketedMergeSink:
         key changed iff its stored ``order_col`` changed (LWW: one
         version per key per snapshot, monotone in ``order_col``)."""
         if self.merge_mode == "mor":
-            return self._read_changes_mor(to_epoch, from_epoch)
+            return self._read_changes_mor(to_epoch, from_epoch, include_preimages)
         fm, tm = self._snapshot_map(from_epoch), self._snapshot_map(to_epoch)
         f_items, t_items = set(fm.items()), set(tm.items())
         old_rels = [rel for b, rel in fm.items() if (b, rel) not in t_items]
@@ -764,9 +777,11 @@ class BucketedMergeSink:
             return new.withColumn(ct, F.lit("insert"))
         if new is None:
             return old.withColumn(ct, F.lit("delete"))
-        return self._classify_state_diff(old, new)
+        return self._classify_state_diff(old, new, include_preimages)
 
-    def _classify_state_diff(self, old: DataFrame, new: DataFrame) -> DataFrame:
+    def _classify_state_diff(
+        self, old: DataFrame, new: DataFrame, include_preimages: bool = False
+    ) -> DataFrame:
         """Full-outer diff of two table STATES (one live row per key,
         tombstone-free) into changelog rows: insert / update_postimage /
         delete (pre-image payload and order for deletes). A key whose
@@ -810,7 +825,23 @@ class BucketedMergeSink:
             sel.append(
                 F.when(F.col(ct) == "delete", pre).otherwise(F.col(f"_n_{c}")).alias(c)
             )
-        return out.select(*sel)
+        base = out.select(*sel)
+        if not include_preimages:
+            return base
+        # one extra projection over the SAME already-pruned diff join
+        # (still O(changed data)): the prior image of every update.
+        pre_sel = [F.col(f"_ok_{k}").alias(k) for k in self.keys]
+        pre_sel.append(F.lit("update_preimage").alias(ct))
+        pre_sel.append(F.col("_o_ord").alias(self.order_col))
+        for c in payload_cols:
+            if f"_o_{c}" in j.columns:
+                pre_sel.append(F.col(f"_o_{c}").alias(c))
+            else:  # column added by schema evolution after the old state
+                pre_sel.append(
+                    F.lit(None).cast(new.schema[c].dataType).alias(c)
+                )
+        pres = out.filter(F.col(ct) == "update_postimage").select(*pre_sel)
+        return base.unionByName(pres)
 
     def _require_rels(self, rels: list[str]) -> None:
         """Refuse with a clear error when snapshot files a changelog
@@ -835,7 +866,12 @@ class BucketedMergeSink:
                 return e
         raise ValueError(f"epoch {epoch} is not committed")
 
-    def _read_changes_mor(self, to_epoch: int, from_epoch: int | None) -> DataFrame:
+    def _read_changes_mor(
+        self,
+        to_epoch: int,
+        from_epoch: int | None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """Changelog for a merge-on-read sink. MOR epochs append
         LWW-reduced delta directories, so the deltas committed in
         ``(from_epoch, to_epoch]`` already ARE the changed data — read
@@ -896,7 +932,9 @@ class BucketedMergeSink:
             new_state = self._merged_view(
                 list(to_s["buckets"].values()), to_deltas
             )
-            return self._classify_state_diff(old_state, new_state)
+            return self._classify_state_diff(
+                old_state, new_state, include_preimages
+            )
         new_rels = [r for r in to_deltas if r not in set(from_deltas)]
         if not new_rels:
             raise ValueError("snapshots are identical — no new deltas")
@@ -995,7 +1033,19 @@ class BucketedMergeSink:
             sel.append(
                 F.when(F.col(ct) == "delete", pre).otherwise(F.col(c)).alias(c)
             )
-        return out.select(*sel)
+        base = out.select(*sel)
+        if not include_preimages:
+            return base
+        pre_sel = [F.col(k) for k in self.keys]
+        pre_sel.append(F.lit("update_preimage").alias(ct))
+        pre_sel.append(F.col("_p_ord").alias(self.order_col))
+        for c in payload:
+            if f"_p_{c}" in j.columns:
+                pre_sel.append(F.col(f"_p_{c}").alias(c))
+            else:
+                pre_sel.append(F.lit(None).cast(d.schema[c].dataType).alias(c))
+        pres = out.filter(F.col(ct) == "update_postimage").select(*pre_sel)
+        return base.unionByName(pres)
 
     # ----- maintenance: bucket-count evolution -----------------------------
 
