@@ -205,6 +205,30 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lww_apply_cdc(ev, ["user_id"], "lsn", delete_op="d")
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N10/N20 classification core as a pure relational query: diff the
+    LWW state as-of the stream's midpoint against the final state into
+    insert / update_postimage / update_preimage / delete rows
+    (``classify_state_diff`` — the exact function the sink's changelog
+    and the incremental-view retraction feed run on). One bounded
+    driver scalar (max event_id) picks the deterministic midpoint."""
+    from kafka_connect_converter_json_spark.operators.dedup import lww_apply_cdc
+    from kafka_connect_converter_json_spark.streaming.sink import classify_state_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        "event_type", "value",
+    )
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    old = lww_apply_cdc(ev.filter(F.col("lsn") <= mid), ["user_id"], "lsn",
+                        delete_op="d")
+    new = lww_apply_cdc(ev, ["user_id"], "lsn", delete_op="d")
+    out = classify_state_diff(old, new, ["user_id"], "lsn",
+                              include_preimages=True)
+    return out.withColumnRenamed("_change_type", "change_type")
+
+
 def q_engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end converter proof: build JSON envelopes from documents,
     run the reference-semantics mapInPandas converter, and land typed
@@ -1257,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_scan": q_license_scan,
         "secret_scan": q_secret_scan,
         "comment_stats": q_comment_stats,
+        "cdc_changelog": q_cdc_changelog,
     }
 
 
@@ -2579,5 +2604,46 @@ def oracle_sql() -> dict[str, str]:
                    round(p, 6) AS p_natural,
                    round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS w_tau
             FROM with_p
+        """,
+        "cdc_changelog": """
+            WITH src AS (
+              SELECT user_id, event_id AS lsn, event_type, value,
+                     CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS op
+              FROM events
+            ), old_state AS (
+              SELECT user_id, lsn, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) rn
+                FROM src
+                WHERE lsn <= (SELECT CAST(floor(max(event_id)/2.0) AS BIGINT) FROM events)
+              ) WHERE rn = 1 AND op <> 'd'
+            ), new_state AS (
+              SELECT user_id, lsn, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) rn
+                FROM src
+              ) WHERE rn = 1 AND op <> 'd'
+            ), j AS (
+              SELECT o.user_id AS o_uid, o.lsn AS o_lsn,
+                     o.event_type AS o_et, o.value AS o_v,
+                     n.user_id AS n_uid, n.lsn AS n_lsn,
+                     n.event_type AS n_et, n.value AS n_v
+              FROM old_state o FULL OUTER JOIN new_state n
+                ON o.user_id = n.user_id
+            ), cls AS (
+              SELECT *,
+                     CASE WHEN n_uid IS NULL THEN 'delete'
+                          WHEN o_uid IS NULL THEN 'insert'
+                          WHEN n_lsn <> o_lsn THEN 'update_postimage'
+                     END AS change_type
+              FROM j
+            )
+            SELECT coalesce(n_uid, o_uid) AS user_id, change_type,
+                   coalesce(n_lsn, o_lsn) AS lsn,
+                   CASE WHEN change_type='delete' THEN o_et ELSE n_et END AS event_type,
+                   CASE WHEN change_type='delete' THEN o_v ELSE n_v END AS value
+            FROM cls WHERE change_type IS NOT NULL
+            UNION ALL
+            SELECT o_uid AS user_id, 'update_preimage' AS change_type,
+                   o_lsn AS lsn, o_et AS event_type, o_v AS value
+            FROM cls WHERE change_type = 'update_postimage'
         """,
     }

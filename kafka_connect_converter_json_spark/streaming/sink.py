@@ -82,6 +82,79 @@ class ManifestWriter:
         os.replace(tmp, path)  # atomic commit point (POSIX rename)
 
 
+def classify_state_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str,
+    include_preimages: bool = False,
+) -> DataFrame:
+    """Full-outer diff of two table STATES (one live row per key,
+    tombstone-free) into changelog rows: insert / update_postimage /
+    delete (pre-image payload and order for deletes). A key whose
+    stored ``order_col`` is unchanged is not a change (LWW: one
+    version per key per state, monotone in ``order_col``).
+
+    ``include_preimages=True`` additionally emits an
+    ``update_preimage`` row (prior payload + prior order) per update —
+    the retraction record an incremental consumer subtracts
+    (``streaming/view.py``). Standalone relational form of the sink's
+    changelog classification: the sink delegates here, and the same
+    semantics apply to any pair of LWW states (e.g. two as-of
+    prefixes of one CDC stream)."""
+    ct = "_change_type"
+    payload_cols = [c for c in new.columns if c not in keys and c != order_col]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        F.col(order_col).alias("_o_ord"),
+        *[F.col(c).alias(f"_o_{c}") for c in payload_cols if c in old.columns],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        F.col(order_col).alias("_n_ord"),
+        *[F.col(c).alias(f"_n_{c}") for c in payload_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    present_new = F.col("_n_ord").isNotNull() | F.col(f"_nk_{keys[0]}").isNotNull()
+    present_old = F.col("_o_ord").isNotNull() | F.col(f"_ok_{keys[0]}").isNotNull()
+    change = (
+        F.when(~present_new, F.lit("delete"))
+        .when(~present_old, F.lit("insert"))
+        .when(F.col("_n_ord") != F.col("_o_ord"), F.lit("update_postimage"))
+        .otherwise(F.lit(None))  # same stored version: not a change
+    )
+    out = j.withColumn(ct, change).filter(F.col(ct).isNotNull())
+    sel = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    sel.append(F.col(ct))
+    sel.append(F.coalesce(F.col("_n_ord"), F.col("_o_ord")).alias(order_col))
+    for c in payload_cols:
+        pre = F.col(f"_o_{c}") if f"_o_{c}" in j.columns else F.lit(None)
+        sel.append(
+            F.when(F.col(ct) == "delete", pre).otherwise(F.col(f"_n_{c}")).alias(c)
+        )
+    base = out.select(*sel)
+    if not include_preimages:
+        return base
+    # one extra projection over the SAME already-pruned diff join
+    # (still O(changed data)): the prior image of every update.
+    pre_sel = [F.col(f"_ok_{k}").alias(k) for k in keys]
+    pre_sel.append(F.lit("update_preimage").alias(ct))
+    pre_sel.append(F.col("_o_ord").alias(order_col))
+    for c in payload_cols:
+        if f"_o_{c}" in j.columns:
+            pre_sel.append(F.col(f"_o_{c}").alias(c))
+        else:  # column added by schema evolution after the old state
+            pre_sel.append(F.lit(None).cast(new.schema[c].dataType).alias(c))
+    pres = out.filter(F.col(ct) == "update_postimage").select(*pre_sel)
+    return base.unionByName(pres)
+
+
 class BucketedMergeSink:
     def __init__(
         self,
@@ -782,66 +855,9 @@ class BucketedMergeSink:
     def _classify_state_diff(
         self, old: DataFrame, new: DataFrame, include_preimages: bool = False
     ) -> DataFrame:
-        """Full-outer diff of two table STATES (one live row per key,
-        tombstone-free) into changelog rows: insert / update_postimage /
-        delete (pre-image payload and order for deletes). A key whose
-        stored ``order_col`` is unchanged is not a change (LWW: one
-        version per key per state, monotone in ``order_col``)."""
-        ct = "_change_type"
-        payload_cols = [c for c in new.columns if c not in self.keys and c != self.order_col]
-        o = old.select(
-            *[F.col(k).alias(f"_ok_{k}") for k in self.keys],
-            F.col(self.order_col).alias("_o_ord"),
-            *[F.col(c).alias(f"_o_{c}") for c in payload_cols if c in old.columns],
+        return classify_state_diff(
+            old, new, self.keys, self.order_col, include_preimages
         )
-        n = new.select(
-            *[F.col(k).alias(f"_nk_{k}") for k in self.keys],
-            F.col(self.order_col).alias("_n_ord"),
-            *[F.col(c).alias(f"_n_{c}") for c in payload_cols],
-        )
-        cond = None
-        for k in self.keys:
-            eq = o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"])
-            cond = eq if cond is None else (cond & eq)
-        j = o.join(n, cond, "full_outer")
-        present_new = F.col("_n_ord").isNotNull() | F.col(f"_nk_{self.keys[0]}").isNotNull()
-        present_old = F.col("_o_ord").isNotNull() | F.col(f"_ok_{self.keys[0]}").isNotNull()
-        change = (
-            F.when(~present_new, F.lit("delete"))
-            .when(~present_old, F.lit("insert"))
-            .when(F.col("_n_ord") != F.col("_o_ord"), F.lit("update_postimage"))
-            .otherwise(F.lit(None))  # same stored version: not a change
-        )
-        out = j.withColumn(ct, change).filter(F.col(ct).isNotNull())
-        sel = [
-            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in self.keys
-        ]
-        sel.append(F.col(ct))
-        sel.append(
-            F.coalesce(F.col("_n_ord"), F.col("_o_ord")).alias(self.order_col)
-        )
-        for c in payload_cols:
-            pre = F.col(f"_o_{c}") if f"_o_{c}" in j.columns else F.lit(None)
-            sel.append(
-                F.when(F.col(ct) == "delete", pre).otherwise(F.col(f"_n_{c}")).alias(c)
-            )
-        base = out.select(*sel)
-        if not include_preimages:
-            return base
-        # one extra projection over the SAME already-pruned diff join
-        # (still O(changed data)): the prior image of every update.
-        pre_sel = [F.col(f"_ok_{k}").alias(k) for k in self.keys]
-        pre_sel.append(F.lit("update_preimage").alias(ct))
-        pre_sel.append(F.col("_o_ord").alias(self.order_col))
-        for c in payload_cols:
-            if f"_o_{c}" in j.columns:
-                pre_sel.append(F.col(f"_o_{c}").alias(c))
-            else:  # column added by schema evolution after the old state
-                pre_sel.append(
-                    F.lit(None).cast(new.schema[c].dataType).alias(c)
-                )
-        pres = out.filter(F.col(ct) == "update_postimage").select(*pre_sel)
-        return base.unionByName(pres)
 
     def _require_rels(self, rels: list[str]) -> None:
         """Refuse with a clear error when snapshot files a changelog
