@@ -138,21 +138,47 @@ def classify_state_diff(
         sel.append(
             F.when(F.col(ct) == "delete", pre).otherwise(F.col(f"_n_{c}")).alias(c)
         )
-    base = out.select(*sel)
     if not include_preimages:
-        return base
-    # one extra projection over the SAME already-pruned diff join
-    # (still O(changed data)): the prior image of every update.
-    pre_sel = [F.col(f"_ok_{k}").alias(k) for k in keys]
-    pre_sel.append(F.lit("update_preimage").alias(ct))
-    pre_sel.append(F.col("_o_ord").alias(order_col))
+        return out.select(*sel)
+    # single-pass form: ONE evaluation of the diff join emits both the
+    # post-image row and (for updates) the retraction pre-image row via
+    # a 1-or-2-element explode — a unionByName of two projections over
+    # `out` would re-evaluate the whole join subtree (and re-scan both
+    # inputs) once per branch.
+    post_f = [
+        F.col(ct).alias("_ct"),
+        F.coalesce(F.col("_n_ord"), F.col("_o_ord")).alias("_ord"),
+    ]
+    pre_f = [
+        F.lit("update_preimage").alias("_ct"),
+        F.col("_o_ord").alias("_ord"),
+    ]
     for c in payload_cols:
-        if f"_o_{c}" in j.columns:
-            pre_sel.append(F.col(f"_o_{c}").alias(c))
-        else:  # column added by schema evolution after the old state
-            pre_sel.append(F.lit(None).cast(new.schema[c].dataType).alias(c))
-    pres = out.filter(F.col(ct) == "update_postimage").select(*pre_sel)
-    return base.unionByName(pres)
+        old_c = (
+            F.col(f"_o_{c}")
+            if f"_o_{c}" in j.columns
+            # column added by schema evolution after the old state
+            else F.lit(None).cast(new.schema[c].dataType)
+        )
+        post_f.append(
+            F.when(F.col(ct) == "delete", old_c)
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(c)
+        )
+        pre_f.append(old_c.alias(c))
+    arr = F.when(
+        F.col(ct) == "update_postimage",
+        F.array(F.struct(*post_f), F.struct(*pre_f)),
+    ).otherwise(F.array(F.struct(*post_f)))
+    key_sel = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    ex = out.select(*key_sel, F.explode(arr).alias("_e"))
+    final = [F.col(k) for k in keys]
+    final.append(F.col("_e._ct").alias(ct))
+    final.append(F.col("_e._ord").alias(order_col))
+    final += [F.col(f"_e.{c}").alias(c) for c in payload_cols]
+    return ex.select(*final)
 
 
 class BucketedMergeSink:
@@ -1049,19 +1075,43 @@ class BucketedMergeSink:
             sel.append(
                 F.when(F.col(ct) == "delete", pre).otherwise(F.col(c)).alias(c)
             )
-        base = out.select(*sel)
         if not include_preimages:
-            return base
-        pre_sel = [F.col(k) for k in self.keys]
-        pre_sel.append(F.lit("update_preimage").alias(ct))
-        pre_sel.append(F.col("_p_ord").alias(self.order_col))
+            return out.select(*sel)
+        # single-pass preimage emission (same rationale as
+        # classify_state_diff): explode 1-or-2 structs per change row
+        # instead of re-evaluating the delta-vs-prior join per branch.
+        post_f = [
+            F.col(ct).alias("_ct"),
+            F.when(F.col(ct) == "delete", F.col("_p_ord"))
+            .otherwise(F.col(self.order_col))
+            .alias("_ord"),
+        ]
+        pre_f = [
+            F.lit("update_preimage").alias("_ct"),
+            F.col("_p_ord").alias("_ord"),
+        ]
         for c in payload:
-            if f"_p_{c}" in j.columns:
-                pre_sel.append(F.col(f"_p_{c}").alias(c))
-            else:
-                pre_sel.append(F.lit(None).cast(d.schema[c].dataType).alias(c))
-        pres = out.filter(F.col(ct) == "update_postimage").select(*pre_sel)
-        return base.unionByName(pres)
+            old_c = (
+                F.col(f"_p_{c}")
+                if f"_p_{c}" in j.columns
+                else F.lit(None).cast(d.schema[c].dataType)
+            )
+            post_f.append(
+                F.when(F.col(ct) == "delete", old_c)
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+            pre_f.append(old_c.alias(c))
+        arr = F.when(
+            F.col(ct) == "update_postimage",
+            F.array(F.struct(*post_f), F.struct(*pre_f)),
+        ).otherwise(F.array(F.struct(*post_f)))
+        ex = out.select(*self.keys, F.explode(arr).alias("_e"))
+        final = [F.col(k) for k in self.keys]
+        final.append(F.col("_e._ct").alias(ct))
+        final.append(F.col("_e._ord").alias(self.order_col))
+        final += [F.col(f"_e.{c}").alias(c) for c in payload]
+        return ex.select(*final)
 
     # ----- maintenance: bucket-count evolution -----------------------------
 
