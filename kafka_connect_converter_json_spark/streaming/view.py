@@ -28,6 +28,21 @@ Two maintenance strategies, chosen per view:
   both) are recomputed from ``read_as_of(to_epoch)`` via a null-safe
   semi-join, everything else is carried over — O(affected groups'
   data), not O(table).
+- ``strategy="hybrid"`` (any aggregate): count/sum/avg evolve exactly
+  as ``delta``; min/max are maintained from the changelog through
+  per-group BOUNDED CANDIDATE multisets (the classic IVM answer to
+  non-subtractable extremes). Each group stores its k best
+  ``(value, multiplicity)`` candidates plus a displacement bound: when
+  truncation drops values, every untracked live value is provably no
+  better than the recorded bound, so the head candidate is the true
+  extreme whenever it is inside the bound. Retracting the current
+  extreme falls through to the next candidate with NO base read.
+  Only two conditions touch the base, both localized to the affected
+  groups via semi-join: candidate exhaustion (all k retracted while
+  live non-null rows remain) and a bound crossing (every survivor is
+  worse than the bound, so a better untracked value may exist — the
+  insert-5-after-displacing-3 case). Steady state is O(changes +
+  view·k) per refresh.
 
 Exactly-once: each refresh writes a full state snapshot under
 ``state_e{to_epoch}/`` and then atomically swaps ``_view_manifest.json``
@@ -50,7 +65,8 @@ from .sink import BucketedMergeSink, ConcurrentCommitError, ManifestWriter
 VIEW_MANIFEST = "_view_manifest.json"
 
 _DELTA_FNS = {"count", "sum", "avg"}
-_ALL_FNS = {"count", "sum", "avg", "min", "max"}
+_MINMAX = {"min", "max"}
+_ALL_FNS = _DELTA_FNS | _MINMAX
 _CNT = "_view_rows"  # hidden per-group live-row count (group GC + count())
 
 
@@ -73,8 +89,9 @@ class IncrementalAggView:
         aggs: dict[str, tuple[str, str | None]],
         strategy: str = "delta",
         manifest_writer: ManifestWriter | None = None,
+        candidates_per_group: int = 8,
     ) -> None:
-        if strategy not in ("delta", "recompute"):
+        if strategy not in ("delta", "recompute", "hybrid"):
             raise ValueError(f"unknown strategy {strategy!r}")
         allowed = _DELTA_FNS if strategy == "delta" else _ALL_FNS
         for out, (fn, _col) in aggs.items():
@@ -82,10 +99,13 @@ class IncrementalAggView:
                 raise ValueError(
                     f"{out}: {fn} is not maintainable under strategy="
                     f"{strategy!r} ({fn} is not subtractable — use "
-                    "strategy='recompute')"
+                    "strategy='recompute' or 'hybrid')"
                     if strategy == "delta" and fn in _ALL_FNS
                     else f"{out}: unsupported aggregate {fn!r}"
                 )
+        if candidates_per_group < 1:
+            raise ValueError("candidates_per_group must be >= 1")
+        self.k = int(candidates_per_group)
         bad = [c for c in group_cols if c in aggs]
         if bad:
             raise ValueError(f"grouping columns also named as aggregates: {bad}")
@@ -101,12 +121,20 @@ class IncrementalAggView:
             "last_epoch": None,
             "state": None,
             "strategy": strategy,
+            "k": self.k if strategy == "hybrid" else None,
             "version": 0,
         }
         if self._manifest.get("strategy") != strategy:
             raise ValueError(
                 f"view at {root} was materialized with strategy="
                 f"{self._manifest.get('strategy')!r}; reopen with that"
+            )
+        if strategy == "hybrid" and self._manifest.get("k") not in (None, self.k):
+            # candidate arrays in the stored state were truncated at the
+            # recorded k; a different bound would corrupt the invariant
+            raise ValueError(
+                f"view at {root} was materialized with "
+                f"candidates_per_group={self._manifest.get('k')}; reopen with that"
             )
 
     # ----- public surface ---------------------------------------------------
@@ -131,11 +159,18 @@ class IncrementalAggView:
                     F.when(F.col(f"_nn_{out}") > 0, F.col(f"_sum_{out}"))
                     .alias(out)
                 )
-            else:  # avg = running sum / running non-null count
+            elif fn == "avg":  # running sum / running non-null count
                 sel.append(
                     F.when(
                         F.col(f"_nn_{out}") > 0,
                         F.col(f"_sum_{out}") / F.col(f"_nn_{out}"),
+                    ).alias(out)
+                )
+            else:  # min/max (hybrid): head of the sorted candidate array
+                sel.append(
+                    F.when(
+                        F.col(f"_nn_{out}") > 0,
+                        F.element_at(F.col(f"_cand_{out}"), 1)["v"],
                     ).alias(out)
                 )
         return raw.select(*sel)
@@ -165,6 +200,8 @@ class IncrementalAggView:
             raise
         if self.strategy == "delta":
             state = self._delta_state(changes)
+        elif self.strategy == "hybrid":
+            state = self._hybrid_state(changes, to_epoch)
         else:
             state = self._recompute_state(changes, to_epoch)
         rel = f"state_e{to_epoch}"
@@ -184,37 +221,208 @@ class IncrementalAggView:
 
     # ----- strategies -------------------------------------------------------
 
-    def _delta_state(self, changes: DataFrame) -> DataFrame:
-        sign = F.when(
+    @staticmethod
+    def _sign():
+        return F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
+
+    def _numeric_accumulators(self) -> list[str]:
+        """Hidden signed-counter columns: _CNT, and per agg _sum/_nn for
+        sum/avg or _nn alone for min/max (hybrid tracks live non-null
+        counts to detect candidate exhaustion)."""
+        cols = [_CNT]
+        for out, (fn, _col) in self.aggs.items():
+            if fn == "count":
+                continue
+            if fn in ("sum", "avg"):
+                cols.append(f"_sum_{out}")
+            cols.append(f"_nn_{out}")
+        return cols
+
+    def _delta_numeric(self, changes: DataFrame, prior: DataFrame | None) -> DataFrame:
+        sign = self._sign()
         contrib = [F.col(c) for c in self.group_cols]
         contrib.append(sign.alias(_CNT))
         for out, (fn, col) in self.aggs.items():
             if fn == "count":
                 continue  # row count is _CNT
             val = F.col(col)
-            contrib.append(
-                F.when(val.isNotNull(), sign * val).otherwise(F.lit(0)).alias(
-                    f"_sum_{out}"
+            if fn in ("sum", "avg"):
+                contrib.append(
+                    F.when(val.isNotNull(), sign * val).otherwise(F.lit(0)).alias(
+                        f"_sum_{out}"
+                    )
                 )
-            )
             contrib.append(
                 F.when(val.isNotNull(), sign).otherwise(F.lit(0)).alias(
                     f"_nn_{out}"
                 )
             )
-        delta = changes.select(*contrib)
-        prior = self._read_raw()
-        merged = delta if prior is None else prior.unionByName(delta)
-        acc = [F.sum(_CNT).alias(_CNT)]
-        for out, (fn, _col) in self.aggs.items():
-            if fn == "count":
-                continue
-            acc.append(F.sum(f"_sum_{out}").alias(f"_sum_{out}"))
-            acc.append(F.sum(f"_nn_{out}").alias(f"_nn_{out}"))
+        merged = changes.select(*contrib)
+        if prior is not None:
+            prior_num = prior.select(*self.group_cols, *self._numeric_accumulators())
+            merged = prior_num.unionByName(merged)
+        acc = [F.sum(c).alias(c) for c in self._numeric_accumulators()]
         # groups whose live-row count reached 0 leave the view
         return merged.groupBy(*self.group_cols).agg(*acc).filter(F.col(_CNT) > 0)
+
+    def _delta_state(self, changes: DataFrame) -> DataFrame:
+        return self._delta_numeric(changes, self._read_raw())
+
+    def _hybrid_state(self, changes: DataFrame, to_epoch: int) -> DataFrame:
+        """count/sum/avg evolve as ``delta``; each min/max agg maintains a
+        per-group bounded candidate multiset ``_cand_{out}``:
+        array<struct<v,n>> of the k best live (value, multiplicity)
+        pairs, sorted best-first, plus a displacement bound
+        ``_ub_{out}``. Invariant: every live non-null value NOT in the
+        candidate array is no better than the bound (null bound = no
+        value was ever displaced, i.e. the array is exhaustive). The
+        head candidate is therefore the true extreme whenever it is
+        within the bound; exhaustion or a bound crossing recomputes
+        ONLY the affected groups from the base (null-safe semi-join).
+        Per-group work is bounded: each group contributes at most
+        k + its-own-changes rows to the candidate merge."""
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        prior = self._read_raw()
+        state = self._delta_numeric(changes, prior)
+        sign = self._sign()
+        base = None
+        for out, (fn, col) in self.aggs.items():
+            if fn not in _MINMAX:
+                continue
+            asc = fn == "min"
+            vtype = changes.schema[col].dataType
+            cand_t = ArrayType(
+                StructType(
+                    [StructField("v", vtype), StructField("n", LongType())]
+                )
+            )
+            d = changes.filter(F.col(col).isNotNull()).select(
+                *self.group_cols,
+                F.col(col).alias("v"),
+                sign.cast("long").alias("n"),
+            )
+            has_prior = prior is not None and f"_cand_{out}" in prior.columns
+            if has_prior:
+                pri = prior.select(
+                    *self.group_cols, F.explode(F.col(f"_cand_{out}")).alias("_e")
+                ).select(
+                    *self.group_cols,
+                    F.col("_e.v").alias("v"),
+                    F.col("_e.n").alias("n"),
+                )
+                d = pri.unionByName(d)
+            # merge the multisets; n<=0 rows are retractions of values
+            # already displaced out of the window — by the invariant they
+            # are no better than the bound and their counts live in _nn,
+            # so dropping them is safe
+            lvl1 = (
+                d.groupBy(*self.group_cols, "v")
+                .agg(F.sum("n").alias("n"))
+                .filter(F.col("n") > 0)
+            )
+            arr = F.array_sort(F.collect_list(F.struct(F.col("v"), F.col("n"))))
+            if not asc:
+                arr = F.reverse(arr)
+            lvl2 = lvl1.groupBy(*self.group_cols).agg(arr.alias("_arr"))
+            if has_prior:
+                ub_df = prior.select(
+                    *[F.col(c).alias(f"_ug_{c}") for c in self.group_cols],
+                    F.col(f"_ub_{out}").alias("_old_ub"),
+                )
+                lvl2 = lvl2.join(
+                    ub_df, self._eq_nullsafe(lvl2, "_ug_"), "left"
+                ).drop(*[f"_ug_{c}" for c in self.group_cols])
+            else:
+                lvl2 = lvl2.withColumn("_old_ub", F.lit(None).cast(vtype))
+            kept = F.slice(F.col("_arr"), 1, self.k)
+            trunc = F.size(F.col("_arr")) > self.k
+            boundary = F.element_at(kept, -1)["v"]
+            tighter = F.least if asc else F.greatest
+            new_ub = F.when(
+                trunc, tighter(F.coalesce(F.col("_old_ub"), boundary), boundary)
+            ).otherwise(F.col("_old_ub"))
+            head = F.element_at(kept, 1)["v"]
+            crossed = (head > new_ub) if asc else (head < new_ub)
+            cand_df = lvl2.select(
+                *[F.col(c).alias(f"_cg_{c}") for c in self.group_cols],
+                kept.alias("_kept"),
+                new_ub.alias("_nub"),
+                (new_ub.isNotNull() & crossed).alias("_crossed"),
+            )
+            state = (
+                state.join(cand_df, self._eq_nullsafe(state, "_cg_"), "left")
+                .drop(*[f"_cg_{c}" for c in self.group_cols])
+                .withColumn(
+                    f"_cand_{out}",
+                    F.coalesce(F.col("_kept"), F.lit(None).cast(cand_t)),
+                )
+                .withColumn(f"_ub_{out}", F.col("_nub"))
+                .withColumn(
+                    f"_fix_{out}",
+                    F.coalesce(F.col("_crossed"), F.lit(False))
+                    | (
+                        (F.coalesce(F.size(f"_cand_{out}"), F.lit(0)) == 0)
+                        & (F.col(f"_nn_{out}") > 0)
+                    ),
+                )
+                .drop("_kept", "_nub", "_crossed")
+            )
+            if base is None:
+                base = self.sink.read_as_of(to_epoch)
+            flagged = (
+                state.filter(F.col(f"_fix_{out}"))
+                .select(
+                    *[F.col(c).alias(f"_fg_{c}") for c in self.group_cols]
+                )
+                .distinct()
+            )
+            f_lvl1 = (
+                base.join(flagged, self._eq_nullsafe(base, "_fg_"), "left_semi")
+                .filter(F.col(col).isNotNull())
+                .groupBy(*self.group_cols, F.col(col).alias("v"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            f_arr = F.array_sort(F.collect_list(F.struct(F.col("v"), F.col("n"))))
+            if not asc:
+                f_arr = F.reverse(f_arr)
+            f_lvl2 = f_lvl1.groupBy(*self.group_cols).agg(f_arr.alias("_farr"))
+            f_kept = F.slice(F.col("_farr"), 1, self.k)
+            f_trunc = F.size(F.col("_farr")) > self.k
+            f_ub = F.when(f_trunc, F.element_at(f_kept, -1)["v"])
+            fixed = f_lvl2.select(
+                *[F.col(c).alias(f"_fx_{c}") for c in self.group_cols],
+                f_kept.alias("_fcand"),
+                f_ub.alias("_fub"),
+            )
+            state = (
+                state.join(fixed, self._eq_nullsafe(state, "_fx_"), "left")
+                .drop(*[f"_fx_{c}" for c in self.group_cols])
+                .withColumn(
+                    f"_cand_{out}",
+                    F.when(
+                        F.col(f"_fix_{out}"),
+                        F.coalesce(F.col("_fcand"), F.lit(None).cast(cand_t)),
+                    ).otherwise(F.col(f"_cand_{out}")),
+                )
+                .withColumn(
+                    f"_ub_{out}",
+                    F.when(F.col(f"_fix_{out}"), F.col("_fub")).otherwise(
+                        F.col(f"_ub_{out}")
+                    ),
+                )
+                .drop("_fcand", "_fub", f"_fix_{out}")
+            )
+        return state
+
+    def _eq_nullsafe(self, left: DataFrame, prefix: str):
+        cond = None
+        for c in self.group_cols:
+            eq = left[c].eqNullSafe(F.col(f"{prefix}{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
 
     def _recompute_state(self, changes: DataFrame, to_epoch: int) -> DataFrame:
         # pre- and post-image rows both appear in `changes`, so a key that
@@ -272,6 +480,7 @@ class IncrementalAggView:
             "last_epoch": to_epoch,
             "state": state_rel,
             "strategy": self.strategy,
+            "k": self.k if self.strategy == "hybrid" else None,
             "version": self._manifest["version"] + 1,
         }
         self._writer.commit(path, nxt)

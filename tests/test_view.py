@@ -190,6 +190,124 @@ def test_all_null_group_sums_to_null(spark, tmp_path):
     assert row["c"] == (None, 1)  # k4's v is NULL: SUM NULL, COUNT 1
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+@pytest.mark.parametrize("k", [1, 2, 8])
+def test_hybrid_matches_full_groupby_each_epoch(spark, tmp_path, mode, k):
+    """hybrid ≡ full groupBy for ALL five aggregates at every epoch,
+    including min/max over numeric AND string columns, across group
+    migration, extreme deletion, and group GC — at k=1/2 the candidate
+    window truncates constantly, exercising the bound bookkeeping."""
+    sink = _sink(spark, tmp_path, mode)
+    view = IncrementalAggView(
+        spark, str(tmp_path / f"view_h_{mode}_{k}"), sink,
+        group_cols=["g"],
+        aggs={
+            "n": ("count", None), "sv": ("sum", "v"), "av": ("avg", "v"),
+            "mn": ("min", "v"), "mx": ("max", "v"), "mk": ("min", "k"),
+        },
+        strategy="hybrid", candidates_per_group=k,
+    )
+    for e, rows in enumerate(EPOCHS):
+        sink.merge(_batch(spark, rows), epoch=e)
+        view.refresh()
+        got = sorted(tuple(r) for r in view.read().collect())
+        exp = sorted(
+            tuple(r)
+            for r in sink.read_as_of(e)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                F.avg("v").alias("av"), F.min("v").alias("mn"),
+                F.max("v").alias("mx"), F.min("k").alias("mk"),
+            )
+            .select("g", "n", "sv", "av", "mn", "mx", "mk")
+            .collect()
+        )
+        assert got == exp, f"epoch {e}, k={k}, mode={mode}"
+
+
+def test_hybrid_bound_crossing_recomputes(spark, tmp_path):
+    """The displaced-value trap: k=1 tracks only {1} for group a while 3
+    lives untracked (bound=1). Deleting 1 and inserting 5 leaves the
+    candidate head (5) OUTSIDE the bound — reporting it would be wrong
+    (true min is the untracked 3); the bound crossing must trigger the
+    localized recompute."""
+    sink = _sink(spark, tmp_path, "mor")
+    sink.merge(
+        _batch(spark, [("k1", 1, "u", "a", 1), ("k2", 2, "u", "a", 3)]), epoch=0
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view_cross"), sink, ["g"],
+        {"mn": ("min", "v"), "n": ("count", None)},
+        strategy="hybrid", candidates_per_group=1,
+    )
+    view.refresh()
+    assert [(r.g, r.mn) for r in view.read().collect()] == [("a", 1)]
+    sink.merge(
+        _batch(spark, [("k1", 3, "d", None, None), ("k3", 4, "u", "a", 5)]),
+        epoch=1,
+    )
+    view.refresh()
+    assert [(r.g, r.mn) for r in view.read().collect()] == [("a", 3)]
+
+
+def test_hybrid_extreme_deletion_falls_to_next_candidate(spark, tmp_path):
+    """With k >= live distinct values nothing is ever displaced (bound
+    stays null): deleting the current min falls through to the next
+    candidate with no recompute trigger."""
+    sink = _sink(spark, tmp_path, "mor")
+    sink.merge(
+        _batch(spark, [("k1", 1, "u", "a", 10), ("k2", 2, "u", "a", 20),
+                       ("k3", 3, "u", "a", 30)]), epoch=0
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view_fall"), sink, ["g"],
+        {"mn": ("min", "v"), "mx": ("max", "v")},
+        strategy="hybrid", candidates_per_group=8,
+    )
+    view.refresh()
+    sink.merge(_batch(spark, [("k1", 4, "d", None, None)]), epoch=1)
+    view.refresh()
+    assert [(r.mn, r.mx) for r in view.read().collect()] == [(20, 30)]
+    # internal check: the stored state's bound is null (nothing displaced)
+    raw = view._read_raw()
+    assert [r["_ub_mn"] for r in raw.collect()] == [None]
+
+
+def test_hybrid_exhaustion_with_all_null_survivors(spark, tmp_path):
+    """Candidates empty after retraction while the group still lives on
+    null-valued rows: min must finalize to NULL, not recompute-loop."""
+    sink = _sink(spark, tmp_path, "mor")
+    sink.merge(
+        _batch(spark, [("k1", 1, "u", "a", 7), ("k2", 2, "u", "a", None)]),
+        epoch=0,
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view_nullx"), sink, ["g"],
+        {"mn": ("min", "v"), "n": ("count", None)},
+        strategy="hybrid", candidates_per_group=1,
+    )
+    view.refresh()
+    sink.merge(_batch(spark, [("k1", 3, "d", None, None)]), epoch=1)
+    view.refresh()
+    assert [(r.g, r.n, r.mn) for r in view.read().collect()] == [("a", 1, None)]
+
+
+def test_hybrid_k_mismatch_on_reopen(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "mor")
+    _load(spark, sink, upto=0)
+    root = str(tmp_path / "view_k")
+    IncrementalAggView(
+        spark, root, sink, ["g"], {"mn": ("min", "v")},
+        strategy="hybrid", candidates_per_group=4,
+    ).refresh()
+    with pytest.raises(ValueError, match="candidates_per_group"):
+        IncrementalAggView(
+            spark, root, sink, ["g"], {"mn": ("min", "v")},
+            strategy="hybrid", candidates_per_group=8,
+        )
+
+
 def test_strategy_mismatch_on_reopen(spark, tmp_path):
     sink = _sink(spark, tmp_path, "mor")
     _load(spark, sink, upto=0)
