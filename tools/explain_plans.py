@@ -274,6 +274,28 @@ def main() -> None:
         )
         epochs = sorted(vsink.committed_epochs())
         view.refresh(epochs[0])
+        # 21b. hybrid min/max: the candidate merge must never plan a
+        # cartesian/nested-loop product, and the only base-table access
+        # is the left_semi localization of flagged groups
+        hview = IncrementalAggView(
+            spark, f"{vtmp}/hview", vsink, ["lang"],
+            {"mn": ("min", "lsn"), "n": ("count", None)},
+            strategy="hybrid", candidates_per_group=2,
+        )
+        hview.refresh(epochs[0])
+        hybrid_plan = formatted(
+            hview._hybrid_state(
+                vsink.read_changes(
+                    epochs[-1], from_epoch=epochs[0], include_preimages=True
+                ),
+                epochs[-1],
+            )
+        )
+        sections.append((
+            "Hybrid view min/max (bounded candidate merge, semi-join localization)",
+            hybrid_plan,
+            ["LeftSemi"],
+        ))
         # materialize the changelog so the audited plan is the VIEW's own
         # work (the claim: maintenance adds no join over the change feed
         # — the delta-vs-prior join visible in a fused plan belongs to
@@ -384,6 +406,13 @@ def main() -> None:
             "SortMergeJoin", "BroadcastHashJoin",
             "BroadcastNestedLoopJoin", "CartesianProduct",
         )),
+    ))
+    checks.append((
+        "Hybrid view min/max",
+        "no cartesian/nested-loop; base access only via LeftSemi",
+        "CartesianProduct" not in hybrid_plan
+        and "BroadcastNestedLoopJoin" not in hybrid_plan
+        and "LeftSemi" in hybrid_plan,
     ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
