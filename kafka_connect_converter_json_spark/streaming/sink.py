@@ -199,6 +199,7 @@ class BucketedMergeSink:
         sort_within_buckets: bool = False,
         merge_mode: str = "mor",
         compact_every: int | None = 8,
+        bucket_cols: list[str] | None = None,
         manifest_writer: ManifestWriter | None = None,
     ) -> None:
         # measured on 1M events / 4 epochs / local[32] (best of 2):
@@ -254,6 +255,24 @@ class BucketedMergeSink:
         # lever at 10^10 rows. Off by default: pure replay throughput
         # doesn't read by key.
         self.sort_within_buckets = sort_within_buckets
+        # bucket_cols: hash-bucket on a SUBSET of the merge keys (the
+        # Iceberg hidden-partitioning `bucket(N, col)`-on-one-column
+        # analogue). Every row of a key still lands in one bucket (the
+        # subset's values are fixed per key), so MERGE/LWW correctness is
+        # untouched — but now a lookup that binds only the subset (e.g.
+        # all paths of one repo when keys=(repo, path)) prunes to ONE
+        # bucket via ``read_prefix`` instead of scanning the table.
+        # Tradeoff, stated: one hot subset value (a monorepo) concentrates
+        # its keys in a single bucket — size num_buckets for the hottest
+        # tenant, or keep the default (all keys) when no prefix-lookup
+        # pattern exists. Fixed at table creation (recorded in the
+        # manifest); num_buckets may still evolve via rebucket().
+        cols = list(bucket_cols) if bucket_cols is not None else list(keys)
+        if not cols or any(c not in keys for c in cols):
+            raise ValueError(
+                f"bucket_cols must be a non-empty subset of keys={keys}, got {cols}"
+            )
+        self.bucket_cols = cols
         self._writer = manifest_writer or ManifestWriter()
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
@@ -271,7 +290,8 @@ class BucketedMergeSink:
         return cls(
             spark, root, keys=list(stored["keys"]), order_col=stored["order_col"],
             num_buckets=int(stored["num_buckets"]),
-            merge_mode=stored.get("merge_mode", "cow"), **kwargs,
+            merge_mode=stored.get("merge_mode", "cow"),
+            bucket_cols=list(stored.get("bucket_cols", stored["keys"])), **kwargs,
         )
 
     # ----- manifest ------------------------------------------------------
@@ -289,8 +309,15 @@ class BucketedMergeSink:
             # and duplicate keys — so mismatches are a hard error.
             for attr, key in (("keys", "keys"), ("order_col", "order_col"),
                               ("num_buckets", "num_buckets"),
-                              ("merge_mode", "merge_mode")):
-                stored = existing.get(key, "cow") if key == "merge_mode" else existing[key]
+                              ("merge_mode", "merge_mode"),
+                              ("bucket_cols", "bucket_cols")):
+                if key == "merge_mode":
+                    stored = existing.get(key, "cow")
+                elif key == "bucket_cols":
+                    # legacy manifests predate prefix bucketing: all keys
+                    stored = existing.get(key, existing["keys"])
+                else:
+                    stored = existing[key]
                 given = getattr(self, attr)
                 if stored != given:
                     raise ValueError(
@@ -305,6 +332,7 @@ class BucketedMergeSink:
             "order_col": self.order_col,
             "num_buckets": self.num_buckets,
             "merge_mode": self.merge_mode,
+            "bucket_cols": self.bucket_cols,
             "epochs": [],
             "buckets": {},
             "deltas": [],
@@ -332,7 +360,9 @@ class BucketedMergeSink:
     # ----- merge ---------------------------------------------------------
 
     def _bucket_expr(self):
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets))
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.bucket_cols]), F.lit(self.num_buckets)
+        )
 
     def _key_types(self) -> dict:
         """Stored dtype of each key column, from one committed parquet
@@ -725,6 +755,45 @@ class BucketedMergeSink:
             cond = eq if cond is None else (cond & eq)
         return df.filter(cond)
 
+    def read_prefix(self, *prefix_values) -> DataFrame:
+        """Prefix lookup (needs ``bucket_cols`` ⊂ keys at creation): all
+        live rows whose ``bucket_cols`` equal ``prefix_values`` — e.g.
+        every path of one repo when keys=(repo, path), bucket_cols=
+        (repo,). Sound single-bucket pruning: the bucket hash binds ONLY
+        bucket_cols, so every key sharing the prefix (and every version
+        of it, base or delta) lives in exactly one bucket directory; the
+        scan touches 1/num_buckets of the table, then the exact equality
+        filter applies post-merge. Equivalent to
+        ``read().filter(bucket_cols = prefix_values)``."""
+        if len(prefix_values) != len(self.bucket_cols):
+            raise ValueError(
+                f"expected {len(self.bucket_cols)} values for bucket_cols="
+                f"{self.bucket_cols}, got {len(prefix_values)}"
+            )
+        ktypes = self._key_types()
+
+        def _klit(k, v):
+            lit = F.lit(v)
+            return lit.cast(ktypes[k]) if k in ktypes else lit
+
+        row = self.spark.range(1).select(
+            *[_klit(k, v).alias(k) for k, v in zip(self.bucket_cols, prefix_values)]
+        )
+        bucket = str(row.select(self._bucket_expr().alias("b")).collect()[0].b)
+        base = self._manifest["buckets"].get(bucket)
+        deltas = [
+            rel for rel in self._manifest.get("deltas", [])
+            if rel.endswith(f"_bucket={bucket}")
+        ]
+        if base is None and not deltas:
+            return self.read().limit(0)  # empty frame with the live schema
+        df = self._merged_view([base] if base else [], deltas)
+        cond = None
+        for k, v in zip(self.bucket_cols, prefix_values):
+            eq = F.col(k) == _klit(k, v)
+            cond = eq if cond is None else (cond & eq)
+        return df.filter(cond)
+
     def read_as_of(self, epoch: int) -> DataFrame:
         """Time travel: table state as of a committed epoch (the epoch's
         bucket-map + delta-list snapshot is recorded in the manifest at
@@ -1015,7 +1084,7 @@ class BucketedMergeSink:
                 )
             snap_nb = self.num_buckets
         probe = F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(int(snap_nb))
+            F.xxhash64(*[F.col(k) for k in self.bucket_cols]), F.lit(int(snap_nb))
         )
         cand = {
             str(r._b)
@@ -1120,7 +1189,7 @@ class BucketedMergeSink:
         rewrite_data_files + partition-spec-evolution analogue). The
         right bucket count GROWS with the table — fixed buckets that were
         right at 10^8 rows are hotspots at 10^10 — so the table can be
-        rewritten under a new ``pmod(xxhash64(keys), N)`` in one job and
+        rewritten under a new ``pmod(xxhash64(bucket_cols), N)`` in one job and
         committed atomically through the same manifest CAS as an epoch.
         Readers see the old layout until the commit; prior epoch
         snapshots keep their old-layout paths, so time travel is
@@ -1136,7 +1205,7 @@ class BucketedMergeSink:
         if os.path.exists(out_dir):  # orphan from a crashed attempt
             shutil.rmtree(out_dir)
         bucket = F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(new_num_buckets)
+            F.xxhash64(*[F.col(k) for k in self.bucket_cols]), F.lit(new_num_buckets)
         )
         (
             current.withColumn("_bucket", bucket)

@@ -214,3 +214,132 @@ def test_read_key_integer_key_casts_literal(spark, tmp_path):
         assert got == exp and len(got) == 1, doc_id
     # absent key on an int-keyed sink still returns empty, not an error
     assert sink.read_key(10_000).count() == 0
+
+
+# ----- prefix bucketing (bucket_cols ⊂ keys) -----------------------------
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_bucket_cols_final_state_parity(spark, events, tmp_path, mode):
+    """Bucketing on a key-subset (repo) must not change MERGE/LWW results:
+    every row of a (repo, path) key still lands in one bucket because the
+    hash binds only columns fixed per key."""
+    ref = ingest(
+        spark, events, str(tmp_path / f"ref_{mode}"), N, n_epochs=3,
+        num_buckets=8, merge_mode=mode,
+    )
+    pre = ingest(
+        spark, events, str(tmp_path / f"pre_{mode}"), N, n_epochs=3,
+        num_buckets=8, merge_mode=mode, bucket_cols=["repo"],
+    )
+    assert _rows(pre.read()) == _rows(ref.read())
+
+
+def test_read_prefix_matches_filter_and_prunes(spark, events, tmp_path):
+    sink = ingest(
+        spark, events, str(tmp_path / "pp"), N, n_epochs=3, num_buckets=8,
+        merge_mode="mor", bucket_cols=["repo"],
+    )
+    full = sink.read().cache()
+    repos = [r.repo for r in full.select("repo").distinct().collect()]
+    for repo in repos[:3] + ["no-such-repo"]:
+        got = _rows(sink.read_prefix(repo))
+        exp = _rows(full.filter(F.col("repo") == repo))
+        assert got == exp, repo
+    # pruning: the scan touches exactly one bucket's files
+    repo = repos[0]
+    df = sink.read_prefix(repo)
+    from pyspark.sql import functions as SF
+    b = (
+        spark.range(1)
+        .select(SF.lit(repo).alias("repo"))
+        .select(
+            SF.pmod(SF.xxhash64(SF.col("repo")), SF.lit(sink.num_buckets)).alias("b")
+        )
+        .collect()[0].b
+    )
+    files = df.inputFiles()
+    assert files and all(f"_bucket={b}" in f or f"bucket={b}/" in f for f in files), (
+        b, files[:3],
+    )
+    # and the table genuinely spans other buckets the scan skipped
+    suffixes = {rel.rsplit("_bucket=", 1)[1] for rel in sink._manifest["deltas"]}
+    assert len(suffixes) > 1 and str(b) in suffixes
+
+
+def test_read_prefix_default_bucketing_is_full_key(spark, events, tmp_path):
+    """Without bucket_cols the 'prefix' is the whole key — read_prefix
+    degenerates to read_key semantics and a 1-value call errors."""
+    sink = ingest(spark, events, str(tmp_path / "dp"), N, n_epochs=1, num_buckets=4)
+    with pytest.raises(ValueError, match="bucket_cols"):
+        sink.read_prefix("repo_0")
+    r = sink.read().limit(1).collect()[0]
+    assert _rows(sink.read_prefix(r.repo, r.path)) == _rows(
+        sink.read_key(r.repo, r.path)
+    )
+
+
+def test_bucket_cols_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="subset of keys"):
+        BucketedMergeSink(
+            spark, str(tmp_path / "v1"), keys=["repo", "path"],
+            bucket_cols=["lang"], num_buckets=4,
+        )
+    with pytest.raises(ValueError, match="subset of keys"):
+        BucketedMergeSink(
+            spark, str(tmp_path / "v2"), keys=["repo", "path"],
+            bucket_cols=[], num_buckets=4,
+        )
+
+
+def test_bucket_cols_reopen_and_mismatch(spark, events, tmp_path):
+    root = str(tmp_path / "ro")
+    ingest(
+        spark, events, root, N, n_epochs=1, num_buckets=4,
+        merge_mode="mor", bucket_cols=["repo"],
+    )
+    re = BucketedMergeSink.open(spark, root)
+    assert re.bucket_cols == ["repo"]
+    assert re.read_prefix("repo-0000").count() > 0
+    # layout-affecting mismatch on an existing table is a hard error
+    with pytest.raises(ValueError, match="bucket_cols"):
+        BucketedMergeSink(
+            spark, root, keys=["repo", "path"], order_col="lsn",
+            num_buckets=4, merge_mode="mor", bucket_cols=["repo", "path"],
+        )
+
+
+def test_bucket_cols_read_key_and_changes_parity(spark, events, tmp_path):
+    """Point lookups and the MOR changelog must honor the subset hash:
+    both probe bucket ids via the same _bucket_expr as the layout."""
+    pre = ingest(
+        spark, events, str(tmp_path / "ck_pre"), N, n_epochs=4, num_buckets=8,
+        merge_mode="mor", bucket_cols=["repo"],
+    )
+    cow = ingest(
+        spark, events, str(tmp_path / "ck_cow"), N, n_epochs=4, num_buckets=8,
+        merge_mode="cow", bucket_cols=["repo"],
+    )
+    r = pre.read().limit(1).collect()[0]
+    assert _rows(pre.read_key(r.repo, r.path)) == _rows(
+        pre.read().filter((F.col("repo") == r.repo) & (F.col("path") == r.path))
+    )
+    got = _rows(pre.read_changes(1, 3))
+    exp = _rows(cow.read_changes(1, 3))
+    assert got == exp and len(got) > 0
+
+
+def test_bucket_cols_rebucket_preserves_prefix_reads(spark, events, tmp_path):
+    sink = ingest(
+        spark, events, str(tmp_path / "rb"), N, n_epochs=2, num_buckets=4,
+        merge_mode="mor", bucket_cols=["repo"],
+    )
+    before = _rows(sink.read())
+    sink.compact()
+    sink.rebucket(16)
+    assert sink.bucket_cols == ["repo"]
+    assert _rows(sink.read()) == before
+    repo = sink.read().select("repo").limit(1).collect()[0].repo
+    assert _rows(sink.read_prefix(repo)) == _rows(
+        sink.read().filter(F.col("repo") == repo)
+    )
