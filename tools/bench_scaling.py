@@ -213,6 +213,12 @@ shared sandbox host is noisy).
 
 **Scaling efficiency (tp_4N/tp_N)/4 = {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
+This table is a SINGLE-run snapshot (the latest observation) on a
+shared, co-tenant host; the authoritative evidence is the multi-run
+envelope below ("Scaling envelope" — all solo observations with
+medians, host-capacity probes, and the in-row quiet/degraded
+separation criterion).
+
 Host-capacity control: {w_lo * cpw} -> {w_hi * cpw} pure-CPU processes scale by
 {host_ratio:.2f}x on this oversubscribed VM (ideal 4.0x) — the pipeline
 achieves {eff_norm:.0%} of what the host physically grants
