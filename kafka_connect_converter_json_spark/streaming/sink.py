@@ -886,6 +886,97 @@ class BucketedMergeSink:
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))
 
+    # ----- metadata tables (Iceberg history/snapshots/files analogue) ----
+
+    def history(self) -> DataFrame:
+        """One row per committed epoch snapshot — the Iceberg ``history``
+        + ``snapshots`` metadata tables in one: epoch id, events merged
+        (summed from the lineage stats embedded in the snapshot),
+        max LSN seen, touched buckets, live base-file / pending-delta-dir
+        counts AS OF that snapshot, the bucket count the snapshot's
+        layout was written under, and whether time travel to it survived
+        ``vacuum``. Built from the manifest alone — O(epochs × source
+        partitions) driver work, no data file is opened."""
+        vac = self._manifest.get("vacuumed_below")
+        rows = []
+        for e in self._manifest["epochs"]:
+            lin = e.get("lineage", []) or []
+            lsns = [r["max_lsn"] for r in lin if r.get("max_lsn") is not None]
+            rows.append(
+                (
+                    int(e["epoch"]),
+                    int(sum(r.get("n_events", 0) or 0 for r in lin)),
+                    int(max(lsns)) if lsns else None,
+                    int(e.get("touched_buckets", 0)),
+                    len(e.get("buckets", {})),
+                    len(e.get("deltas", [])),
+                    int(e.get("num_buckets", self.num_buckets)),
+                    bool(vac is not None and e["epoch"] < vac),
+                )
+            )
+        schema = (
+            "epoch int, n_events bigint, max_lsn bigint, touched_buckets int, "
+            "base_files int, delta_dirs int, num_buckets int, vacuumed boolean"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def maintenance_log(self) -> DataFrame:
+        """One row per maintenance operation (``compact``/``rebucket``) in
+        commit order — the Iceberg snapshot-summary trail for non-epoch
+        commits."""
+        rows = [
+            (i, m.get("op"), int(m.get("deltas_folded", 0)), m.get("dir"))
+            for i, m in enumerate(self._manifest.get("maintenance", []))
+        ]
+        return self.spark.createDataFrame(
+            rows, "seq int, op string, deltas_folded int, dir string"
+        )
+
+    def files(self) -> DataFrame:
+        """One row per LIVE parquet data file — the Iceberg ``files``
+        metadata table: relative path, kind (``base``/``delta``), bucket
+        id, the source commit dir (``e######`` epoch or ``c######``
+        compaction), row count and byte size. The file LIST comes from
+        the manifest's live dirs (bounded by buckets × pending-delta
+        epochs — never a recursive storage walk); rows/bytes come from
+        each file's parquet FOOTER, opened DISTRIBUTED via mapInPandas
+        so the driver never touches a footer and no column data is read."""
+        live: list[tuple[str, str]] = [
+            (rel, "base") for rel in self._manifest["buckets"].values()
+        ] + [(rel, "delta") for rel in self._manifest.get("deltas", [])]
+        out_schema = (
+            "path string, kind string, bucket int, source string, "
+            "rows bigint, bytes bigint"
+        )
+        entries: list[tuple[str, str, int, str]] = []
+        for rel, kind in live:
+            bucket = int(rel.rsplit("_bucket=", 1)[1])
+            source = rel.split("/")[1]  # e###### or c######
+            d = os.path.join(self.root, rel)
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    entries.append((f"{rel}/{fn}", kind, bucket, source))
+        if not entries:
+            return self.spark.createDataFrame([], out_schema)
+        root = self.root
+
+        def _footers(batches):
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                full = [os.path.join(root, p) for p in pdf["path"]]
+                pdf["rows"] = [pq.read_metadata(p).num_rows for p in full]
+                pdf["bytes"] = [os.path.getsize(p) for p in full]
+                yield pdf
+
+        listing = self.spark.createDataFrame(
+            entries, "path string, kind string, bucket int, source string"
+        )
+        return listing.repartition(min(len(entries), 32)).mapInPandas(
+            _footers, schema=out_schema
+        )
+
     def _snapshot_map(self, epoch: int | None) -> dict:
         if epoch is None:
             return {}
