@@ -688,10 +688,19 @@ class BucketedMergeSink:
 
     # ----- read ----------------------------------------------------------
 
-    def _merged_view(self, base_rels: list[str], delta_rels: list[str]) -> DataFrame:
+    def _merged_view(
+        self,
+        base_rels: list[str],
+        delta_rels: list[str],
+        pre_filter=None,
+    ) -> DataFrame:
         """Base ∪ deltas -> one live row per key (MOR read path): LWW by
         ``order_col`` across base rows (implicit op='u') and delta rows
-        (op kept, op='d' winners mask the key), then drop tombstones."""
+        (op kept, op='d' winners mask the key), then drop tombstones.
+        ``pre_filter`` (a Column) is applied BEFORE the LWW reduce — only
+        sound for predicates on columns immutable across a key's versions
+        (the merge keys), where dropping rows cannot flip a winner; it
+        exists so ``read_where`` shuffles only matching keys."""
         if not base_rels and not delta_rels:
             raise ValueError("sink is empty — no committed buckets or deltas")
         rd = self.spark.read.option("mergeSchema", "true")
@@ -706,6 +715,8 @@ class BucketedMergeSink:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
+        if pre_filter is not None:
+            df = df.filter(pre_filter)
         if not delta_rels:
             return df.drop(self.op_col)  # pure base: already one row per key
         payload = [
@@ -941,21 +952,11 @@ class BucketedMergeSink:
         epochs — never a recursive storage walk); rows/bytes come from
         each file's parquet FOOTER, opened DISTRIBUTED via mapInPandas
         so the driver never touches a footer and no column data is read."""
-        live: list[tuple[str, str]] = [
-            (rel, "base") for rel in self._manifest["buckets"].values()
-        ] + [(rel, "delta") for rel in self._manifest.get("deltas", [])]
         out_schema = (
             "path string, kind string, bucket int, source string, "
             "rows bigint, bytes bigint"
         )
-        entries: list[tuple[str, str, int, str]] = []
-        for rel, kind in live:
-            bucket = int(rel.rsplit("_bucket=", 1)[1])
-            source = rel.split("/")[1]  # e###### or c######
-            d = os.path.join(self.root, rel)
-            for fn in sorted(os.listdir(d)):
-                if fn.endswith(".parquet"):
-                    entries.append((f"{rel}/{fn}", kind, bucket, source))
+        entries = self._live_file_entries()
         if not entries:
             return self.spark.createDataFrame([], out_schema)
         root = self.root
@@ -976,6 +977,218 @@ class BucketedMergeSink:
         return listing.repartition(min(len(entries), 32)).mapInPandas(
             _footers, schema=out_schema
         )
+
+    def _live_file_entries(self) -> list[tuple[str, str, int, str]]:
+        """(file rel-path, kind base|delta, bucket id, source commit dir)
+        for every LIVE parquet file. Listed from the manifest's live dirs
+        — bounded by buckets × pending-delta epochs, never a recursive
+        storage walk."""
+        live: list[tuple[str, str]] = [
+            (rel, "base") for rel in self._manifest["buckets"].values()
+        ] + [(rel, "delta") for rel in self._manifest.get("deltas", [])]
+        entries: list[tuple[str, str, int, str]] = []
+        for rel, kind in live:
+            bucket = int(rel.rsplit("_bucket=", 1)[1])
+            source = rel.split("/")[1]  # e###### or c######
+            d = os.path.join(self.root, rel)
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    entries.append((f"{rel}/{fn}", kind, bucket, source))
+        return entries
+
+    # ----- file column stats + stats-pruned scan (data skipping) ---------
+
+    def _read_stats(self) -> dict:
+        rel = self._manifest.get("stats_file")
+        if not rel:
+            return {}
+        with open(os.path.join(self.root, rel)) as fh:
+            return json.load(fh)
+
+    def analyze(self, cols: list[str] | None = None) -> dict:
+        """Collect per-FILE column min/max from parquet FOOTERS and commit
+        them through the manifest CAS — the Iceberg per-file column-stats
+        (``ANALYZE`` / manifest-entry ``lower_bounds``/``upper_bounds``)
+        analogue, and the input ``read_where`` prunes scans with.
+
+        Data files are immutable once written, so path-keyed stats can
+        never go stale; files landed by later epochs are merely
+        unanalyzed (``read_where`` keeps them conservatively) until the
+        next ``analyze()``, which reads ONLY the new files' footers.
+        Footers are opened DISTRIBUTED via mapInPandas — no column data
+        is read, and the driver collect is bounded by the live file
+        count. Stats are recorded for int/float/str/bool columns whose
+        every row group carries min/max; anything else is left absent
+        (= never pruned on). Default ``cols``: merge keys + order_col."""
+        cols = list(cols) if cols is not None else [*self.keys, self.order_col]
+        live_paths = [e[0] for e in self._live_file_entries()]
+        prev = self._read_stats()
+        todo = [p for p in live_paths if p not in prev]
+        merged = {p: prev[p] for p in live_paths if p in prev}
+        if todo:
+            root = self.root
+            want = list(cols)
+
+            def _footer_stats(batches):
+                import pandas as pd
+                import pyarrow.parquet as pq
+
+                def _plain(v):
+                    v = v.item() if hasattr(v, "item") else v
+                    if isinstance(v, (bool, int, float, str)):
+                        return v
+                    return None
+
+                for pdf in batches:
+                    stats_json = []
+                    for p in pdf["path"]:
+                        md = pq.read_metadata(os.path.join(root, p))
+                        idx = {
+                            md.schema.column(i).path: i
+                            for i in range(md.num_columns)
+                        }
+                        per_col = {}
+                        for c in want:
+                            i = idx.get(c)
+                            if i is None:
+                                continue
+                            mn = mx = None
+                            ok = md.num_row_groups > 0
+                            for rg in range(md.num_row_groups):
+                                st = md.row_group(rg).column(i).statistics
+                                if st is None or not st.has_min_max:
+                                    ok = False
+                                    break
+                                lo, hi = _plain(st.min), _plain(st.max)
+                                if lo is None or hi is None:
+                                    ok = False
+                                    break
+                                mn = lo if mn is None or lo < mn else mn
+                                mx = hi if mx is None or hi > mx else mx
+                            if ok:
+                                per_col[c] = [mn, mx]
+                        stats_json.append(json.dumps(per_col))
+                    yield pd.DataFrame({"path": pdf["path"], "stats": stats_json})
+
+            listing = self.spark.createDataFrame(
+                [(p,) for p in todo], "path string"
+            ).repartition(min(len(todo), 32))
+            for row in listing.mapInPandas(
+                _footer_stats, schema="path string, stats string"
+            ).collect():
+                merged[row["path"]] = json.loads(row["stats"])
+        seq = int(self._manifest.get("stats_seq", 0)) + 1
+        rel = f"stats/s{seq:06d}.json"
+        os.makedirs(os.path.join(self.root, "stats"), exist_ok=True)
+        with open(os.path.join(self.root, rel), "w") as fh:
+            json.dump(merged, fh)
+        manifest = dict(self._manifest)
+        manifest["stats_file"] = rel
+        manifest["stats_seq"] = seq
+        self._commit_manifest(manifest)
+        return {
+            "files_analyzed": len(todo),
+            "files_total": len(live_paths),
+            "cols": cols,
+        }
+
+    def read_where(self, predicates: dict) -> DataFrame:
+        """Stats-pruned scan: live rows satisfying range/equality
+        predicates, skipping whole data FILES whose ``analyze()``-recorded
+        min/max cannot intersect — the Iceberg manifest-level data-skipping
+        analogue, one level above the parquet row-group skipping
+        ``sort_within_buckets`` buys. ``predicates`` maps column ->
+        ``(lo, hi)`` inclusive bounds (either side ``None`` = unbounded).
+        Equivalent to ``read().filter(...)`` — exact filters always apply
+        after pruning, so unanalyzed files only cost scan time, never
+        correctness.
+
+        Pruning soundness under LWW merge: a predicate on a MERGE KEY
+        column prunes ANY file — key values are immutable across a row's
+        versions, so a file whose key-range is disjoint holds no version
+        of any matching key (and the exact key filter runs BEFORE the LWW
+        reduce, so dropped non-matching versions can't flip a winner). A
+        predicate on a non-key column prunes only files in buckets with
+        NO pending deltas: those rows are final, whereas a delta-pending
+        bucket may hold an old version inside the range whose newer
+        version falls outside it — pruning there would resurrect the old
+        row. COW tables therefore prune on everything; MOR tables prune
+        non-key columns everywhere except the not-yet-compacted buckets.
+        One refinement: a LOWER bound on ``order_col`` prunes anywhere —
+        a row below the bound either loses LWW to a kept higher-LSN
+        version or wins and is then removed by the exact post-merge
+        filter, so dropping its file cannot change the result (ties share
+        one LSN, so both sides of a tie sit on the same side of the
+        bound). That is the tail-scan shape (``lsn >= X``) a CDC consumer
+        runs constantly; the symmetric UPPER bound stays unsound there
+        because a file above it can hold the winner that masks an
+        in-range old version (use ``read_as_of`` for time travel)."""
+        if not predicates:
+            raise ValueError("read_where needs at least one column predicate")
+        preds: dict[str, tuple] = {}
+        for c, bounds in predicates.items():
+            lo, hi = bounds
+            if lo is None and hi is None:
+                raise ValueError(f"predicate on {c!r} has no bounds")
+            preds[c] = (lo, hi)
+        key_preds = {c: b for c, b in preds.items() if c in self.keys}
+        other_preds = {c: b for c, b in preds.items() if c not in self.keys}
+        # order_col lower bound: sound pre-merge everywhere (see docstring)
+        delta_safe = dict(key_preds)
+        if self.order_col in preds and preds[self.order_col][0] is not None:
+            delta_safe[self.order_col] = (preds[self.order_col][0], None)
+        stats = self._read_stats()
+
+        delta_buckets = {
+            rel.rsplit("_bucket=", 1)[1]
+            for rel in self._manifest.get("deltas", [])
+        }
+
+        def _keep(path: str, bucket: int, usable: dict[str, tuple]) -> bool:
+            st = stats.get(path)
+            if not st:
+                return True
+            for c, (lo, hi) in usable.items():
+                rng = st.get(c)
+                if not rng:
+                    continue
+                try:
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                except TypeError:  # pred/stat type mismatch: keep
+                    continue
+            return True
+
+        base_files: list[str] = []
+        delta_files: list[str] = []
+        for path, kind, bucket, _src in self._live_file_entries():
+            usable = (
+                delta_safe if str(bucket) in delta_buckets else preds
+            )
+            if _keep(path, bucket, usable):
+                (delta_files if kind == "delta" else base_files).append(path)
+
+        def _cond(pred_map: dict[str, tuple]):
+            cond = None
+            for c, (lo, hi) in pred_map.items():
+                for term in (
+                    (F.col(c) >= F.lit(lo)) if lo is not None else None,
+                    (F.col(c) <= F.lit(hi)) if hi is not None else None,
+                ):
+                    if term is not None:
+                        cond = term if cond is None else (cond & term)
+            return cond
+
+        if not base_files and not delta_files:
+            out = self.read().limit(0)  # every file pruned: empty, live schema
+        else:
+            out = self._merged_view(
+                base_files, delta_files, pre_filter=_cond(key_preds)
+            )
+        other_cond = _cond(other_preds)
+        return out.filter(other_cond) if other_cond is not None else out
 
     def _snapshot_map(self, epoch: int | None) -> dict:
         if epoch is None:
