@@ -647,9 +647,13 @@ class BucketedMergeSink:
         self._commit_manifest(manifest)
         return stats
 
-    def _stats_pass(self, batch_b: DataFrame, epoch: int) -> tuple[list[dict], list[int]]:
+    def _stats_pass(
+        self, batch_b: DataFrame, epoch: int, write_lineage: bool = True
+    ) -> tuple[list[dict], list[int]]:
         """One aggregation job: lineage rows per source partition plus the
-        set of touched buckets (collect_set is tiny: <= num_buckets)."""
+        set of touched buckets (collect_set is tiny: <= num_buckets).
+        ``write_lineage=False`` defers the lineage file (staged epochs
+        write it at publish time, so a discarded epoch leaves no trace)."""
         has_lineage = "kafka_partition" in batch_b.columns
         part = F.col("kafka_partition") if has_lineage else F.lit(0)
         rows = (
@@ -665,7 +669,7 @@ class BucketedMergeSink:
             .collect()
         )
         touched = sorted({b for r in rows for b in r["_buckets"]})
-        if has_lineage:
+        if has_lineage and write_lineage:
             self._write_lineage_rows(rows, epoch)
         return [
             {k: r[k] for k in ("kafka_partition", "n_events", "min_offset", "max_offset", "max_lsn", "epoch")}
@@ -884,6 +888,20 @@ class BucketedMergeSink:
                 d.startswith("_bucket=") for d in os.listdir(os.path.join(data_root, epoch_dir))
             ):
                 shutil.rmtree(os.path.join(data_root, epoch_dir))
+        # staged orphans: directories under staged/ with no manifest entry
+        # (crash between data write and the stage commit, or a COW publish
+        # that crashed after its manifest flip but before cleanup)
+        staged_root = os.path.join(self.root, "staged")
+        if os.path.isdir(staged_root):
+            live_staged = {
+                rel.split("/")[1]
+                for e in self._manifest.get("staged", {}).values()
+                for rel in e["delta_rels"]
+            }
+            for d in sorted(os.listdir(staged_root)):
+                if d not in live_staged:
+                    shutil.rmtree(os.path.join(staged_root, d))
+                    removed.append(f"staged/{d}")
         # epochs whose snapshots were vacuumed lose time travel; record that
         manifest = dict(self._manifest)
         manifest["vacuumed_below"] = (
@@ -896,6 +914,417 @@ class BucketedMergeSink:
 
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))
+
+    # ----- write-audit-publish (staged epochs) ---------------------------
+    #
+    # The Iceberg WAP pattern (wap.id / branch-audit-publish) as a CDC
+    # quality gate: ``stage()`` writes an epoch's LWW-reduced delta WITHOUT
+    # making it visible to any reader (read/read_as_of/read_changes/
+    # history all ignore staged entries); ``audit_staged()`` runs
+    # declarative expectations against the staged rows and the CANDIDATE
+    # table state; ``publish()`` flips visibility atomically through the
+    # same manifest CAS every other commit uses (O(1) metadata in MOR
+    # mode — the staged delta directory is renamed, never rewritten);
+    # ``discard()`` drops a failed epoch without trace (its lineage file
+    # is only written at publish). Generalizes the reference's fail-fast
+    # admission (JC:508-549 schema gate) from per-record to per-epoch.
+
+    def staged_epochs(self) -> set[int]:
+        return {int(e) for e in self._manifest.get("staged", {})}
+
+    def _staged_entry(self, epoch: int) -> dict:
+        entry = self._manifest.get("staged", {}).get(str(epoch))
+        if entry is None:
+            raise ValueError(
+                f"epoch {epoch} is not staged on sink at {self.root!r} "
+                f"(staged: {sorted(self.staged_epochs())})"
+            )
+        return entry
+
+    def stage(self, batch: DataFrame, epoch: int, meta: dict | None = None) -> dict:
+        """Write one epoch's CDC events into the invisible staging area.
+
+        Same batch contract as ``merge()``; idempotent on ``epoch``
+        (already-committed and already-staged epochs are skipped no-ops,
+        so at-least-once redelivery is safe). The batch is LWW-reduced
+        within itself (one version per key, deletes kept as tombstone
+        markers — the MOR delta shape, valid for BOTH sink modes) and
+        written under ``staged/``; the staged entry — including its
+        lineage stats and any ``meta`` — rides the manifest so staging
+        survives crash/restart, but NO reader sees it until ``publish``.
+        """
+        if epoch in self.committed_epochs():
+            return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+        if epoch in self.staged_epochs():
+            return {"epoch": epoch, "skipped": True, "reason": "already staged"}
+        has_lineage = "kafka_partition" in batch.columns
+        payload_cols = [
+            c
+            for c in batch.columns
+            if c not in self.keys
+            and c not in (self.order_col, self.op_col, "kafka_partition", "kafka_offset")
+        ]
+        batch = batch.select(
+            *self.keys, self.order_col, self.op_col, *payload_cols,
+            *[c for c in ("kafka_partition", "kafka_offset") if c in batch.columns],
+        )
+        batch_b = batch.withColumn("_bucket", self._bucket_expr())
+
+        import threading
+
+        stats_box: dict = {}
+
+        def _stats():
+            try:
+                stats_box["result"] = self._stats_pass(
+                    batch_b, epoch, write_lineage=False
+                )
+            except Exception as e:  # noqa: BLE001
+                stats_box["error"] = e
+
+        stats_thread = threading.Thread(target=_stats, daemon=True)
+        stats_thread.start()
+
+        lww = (
+            (lambda df, k, o, p: lww_latest_salted(df, k, o, p, self.salt_buckets))
+            if self.salted_merge
+            else lww_latest
+        )
+        reduced = lww(
+            batch_b, self.keys + ["_bucket"], self.order_col,
+            payload_cols + [self.op_col],
+        )
+        staged_rel = f"staged/e{epoch:06d}"
+        staged_dir = os.path.join(self.root, staged_rel)
+        if os.path.exists(staged_dir):  # orphan from a crashed attempt
+            shutil.rmtree(staged_dir)
+        to_write = (
+            reduced.repartition(self.num_buckets, "_bucket")
+            if self.write_repartition
+            else reduced
+        )
+        if self.sort_within_buckets:
+            to_write = to_write.sortWithinPartitions("_bucket", *self.keys)
+        to_write.write.partitionBy("_bucket").parquet(staged_dir)
+        stats_thread.join()
+        if "error" in stats_box:
+            raise stats_box["error"]
+        lineage_stats, touched = stats_box["result"]
+
+        written = sorted(
+            f"{staged_rel}/{d}"
+            for d in os.listdir(staged_dir)
+            if d.startswith("_bucket=")
+        )
+        entry = {
+            "epoch": epoch,
+            "touched": touched,
+            "lineage": lineage_stats,
+            "has_lineage": has_lineage,
+            "delta_rels": written,
+            # the bucket count the staged layout was written under:
+            # publish refuses if a rebucket() intervened
+            "num_buckets": self.num_buckets,
+            "meta": meta or {},
+        }
+        manifest = dict(self._manifest)
+        staged = dict(manifest.get("staged", {}))
+        staged[str(epoch)] = entry
+        manifest["staged"] = staged
+        self._commit_manifest(manifest)
+        return {"epoch": epoch, "staged": True, "touched_buckets": len(touched)}
+
+    def read_staged_delta(self, epoch: int) -> DataFrame:
+        """The staged epoch's LWW-reduced rows, tombstone markers included
+        (``op_col`` == ``delete_op``) — the audit surface for delta-level
+        expectations."""
+        self._staged_entry(epoch)
+        return self.spark.read.parquet(
+            os.path.join(self.root, f"staged/e{epoch:06d}")
+        ).drop("_bucket")
+
+    def read_staged(self, epoch: int) -> DataFrame:
+        """The CANDIDATE table state: what ``read()`` would return if the
+        staged epoch were published right now. Audits run real queries
+        against this without any visibility side effect."""
+        entry = self._staged_entry(epoch)
+        return self._merged_view(
+            list(self._manifest["buckets"].values()),
+            list(self._manifest.get("deltas", [])) + list(entry["delta_rels"]),
+        )
+
+    def audit_staged(self, epoch: int, expectations: dict) -> dict:
+        """Run declarative expectations against a staged epoch. Keys:
+
+        - ``min_rows`` / ``max_rows``: bounds on the staged epoch's live
+          (non-delete) row count.
+        - ``max_delete_fraction``: tombstones / total staged rows.
+        - ``not_null``: list of columns that must be non-null on every
+          live staged row.
+        - ``expect``: {name: sql_bool_expr} — must hold (non-null true)
+          on every live staged row.
+        - ``expect_state``: {name: sql_bool_expr} — must hold on every
+          row of the CANDIDATE state (base + deltas + staged), for
+          invariants that only make sense post-merge (e.g. monotone
+          aggregate bounds).
+
+        One aggregation job over the staged delta (+ one over the
+        candidate state iff ``expect_state`` is given). Returns a report;
+        never mutates the sink."""
+        known = {"min_rows", "max_rows", "max_delete_fraction", "not_null",
+                 "expect", "expect_state"}
+        unknown = set(expectations) - known
+        if unknown:
+            raise ValueError(f"unknown expectation keys: {sorted(unknown)}")
+        delta = self.read_staged_delta(epoch)
+        live = F.col(self.op_col) != self.delete_op
+        aggs = [
+            F.count(F.lit(1)).alias("_n_total"),
+            F.sum(F.when(~live, 1).otherwise(0)).alias("_n_deletes"),
+        ]
+        for c in expectations.get("not_null", []):
+            aggs.append(
+                F.sum(F.when(live & F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"_nn_{c}"
+                )
+            )
+        for name, expr in expectations.get("expect", {}).items():
+            # a NULL predicate result is a violation (unknown != pass)
+            aggs.append(
+                F.sum(
+                    F.when(live & ~F.coalesce(F.expr(expr), F.lit(False)), 1)
+                    .otherwise(0)
+                ).alias(f"_ex_{name}")
+            )
+        row = delta.agg(*aggs).collect()[0]
+        n_total, n_deletes = row["_n_total"], row["_n_deletes"]
+        n_live = n_total - n_deletes
+        checks: dict = {}
+        if "min_rows" in expectations:
+            bound = expectations["min_rows"]
+            checks["min_rows"] = {
+                "passed": n_live >= bound, "observed": n_live, "bound": bound,
+            }
+        if "max_rows" in expectations:
+            bound = expectations["max_rows"]
+            checks["max_rows"] = {
+                "passed": n_live <= bound, "observed": n_live, "bound": bound,
+            }
+        if "max_delete_fraction" in expectations:
+            bound = expectations["max_delete_fraction"]
+            frac = (n_deletes / n_total) if n_total else 0.0
+            checks["max_delete_fraction"] = {
+                "passed": frac <= bound, "observed": round(frac, 6), "bound": bound,
+            }
+        for c in expectations.get("not_null", []):
+            v = row[f"_nn_{c}"] or 0
+            checks[f"not_null:{c}"] = {"passed": v == 0, "violations": v}
+        for name in expectations.get("expect", {}):
+            v = row[f"_ex_{name}"] or 0
+            checks[f"expect:{name}"] = {"passed": v == 0, "violations": v}
+        state_exprs = expectations.get("expect_state", {})
+        if state_exprs:
+            state = self.read_staged(epoch)
+            s_aggs = [
+                F.sum(
+                    F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+                ).alias(f"_st_{name}")
+                for name, expr in state_exprs.items()
+            ]
+            s_row = state.agg(*s_aggs).collect()[0]
+            for name in state_exprs:
+                v = s_row[f"_st_{name}"] or 0
+                checks[f"expect_state:{name}"] = {"passed": v == 0, "violations": v}
+        return {
+            "epoch": epoch,
+            "passed": all(c["passed"] for c in checks.values()),
+            "checks": checks,
+        }
+
+    def publish(self, epoch: int) -> dict:
+        """Atomically make a staged epoch visible — the commit point of
+        write-audit-publish. Idempotent; refuses if a ``rebucket()``
+        intervened since staging (the staged layout's bucket hash is
+        stale — ``discard()`` and re-stage). MOR mode publishes by
+        RENAMING the staged delta directory into the data area (O(1), no
+        data pass); COW mode applies the staged delta as a normal
+        copy-on-write merge against the CURRENT base (correct under any
+        interleaving: the delta is LWW-reduced and LWW is idempotent /
+        order-insensitive on ``order_col``). The epoch's lineage file is
+        written only now, so discarded epochs never pollute lineage."""
+        staged_rel = f"staged/e{epoch:06d}"
+        staged_dir = os.path.join(self.root, staged_rel)
+        if epoch in self.committed_epochs():
+            # redelivery after a successful publish: clean any leftovers
+            if str(epoch) in self._manifest.get("staged", {}):
+                manifest = dict(self._manifest)
+                staged = dict(manifest["staged"])
+                staged.pop(str(epoch))
+                manifest["staged"] = staged
+                self._commit_manifest(manifest)
+            if os.path.exists(staged_dir):
+                shutil.rmtree(staged_dir)
+            return {"epoch": epoch, "skipped": True}
+        entry = self._staged_entry(epoch)
+        if entry["num_buckets"] != self.num_buckets:
+            raise ValueError(
+                f"epoch {epoch} was staged under num_buckets="
+                f"{entry['num_buckets']} but the sink has since been "
+                f"rebucketed to {self.num_buckets}; discard() and re-stage"
+            )
+        if self.merge_mode == "mor":
+            return self._publish_mor(epoch, entry, staged_dir)
+        return self._publish_cow(epoch, entry, staged_dir)
+
+    def _publish_mor(self, epoch: int, entry: dict, staged_dir: str) -> dict:
+        epoch_rel = f"data/e{epoch:06d}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        if os.path.exists(staged_dir):
+            if os.path.exists(epoch_dir):  # orphan from a crashed merge()
+                shutil.rmtree(epoch_dir)
+            os.makedirs(os.path.dirname(epoch_dir), exist_ok=True)
+            os.replace(staged_dir, epoch_dir)  # atomic dir rename
+        elif not os.path.exists(epoch_dir):
+            raise RuntimeError(
+                f"staged data for epoch {epoch} is missing on disk "
+                f"({staged_dir}); discard() and re-stage"
+            )
+        # else: crash landed between the rename and the manifest commit —
+        # the data already sits under data/, just finish the commit
+        written = [r.replace("staged/", "data/", 1) for r in entry["delta_rels"]]
+        if entry["has_lineage"]:
+            self._write_lineage_rows(entry["lineage"], epoch)
+        stats = {
+            "epoch": epoch,
+            "touched_buckets": len(entry["touched"]),
+            "lineage": entry["lineage"],
+            "buckets": dict(self._manifest["buckets"]),
+            "deltas": list(self._manifest.get("deltas", [])) + written,
+            "num_buckets": self.num_buckets,
+        }
+        manifest = dict(self._manifest)
+        manifest["deltas"] = stats["deltas"]
+        manifest["epochs"] = manifest["epochs"] + [stats]
+        if entry["meta"]:
+            manifest["meta"] = {**manifest.get("meta", {}), **entry["meta"]}
+        staged = dict(manifest.get("staged", {}))
+        staged.pop(str(epoch), None)
+        manifest["staged"] = staged
+        self._commit_manifest(manifest)
+        result = {**stats, "published": True}
+        if self.compact_every is not None:
+            n_delta_epochs = len({r.split("/")[1] for r in manifest["deltas"]})
+            if n_delta_epochs >= self.compact_every:
+                result = {**result, "auto_compact": self.compact()}
+        return result
+
+    def _publish_cow(self, epoch: int, entry: dict, staged_dir: str) -> dict:
+        if not os.path.exists(staged_dir):
+            raise RuntimeError(
+                f"staged data for epoch {epoch} is missing on disk "
+                f"({staged_dir}); discard() and re-stage"
+            )
+        # the staged delta IS a valid merge batch (keys + order + op +
+        # payload; already one version per key — LWW is idempotent)
+        batch_b = self.spark.read.parquet(staged_dir)  # _bucket from layout
+        payload_cols = [
+            c for c in batch_b.columns
+            if c not in self.keys
+            and c not in (self.order_col, self.op_col, "_bucket")
+        ]
+        buckets_map = dict(self._manifest["buckets"])
+        touched = list(entry["touched"])
+        current_paths = [
+            os.path.join(self.root, buckets_map[str(b)])
+            for b in touched
+            if str(b) in buckets_map
+        ]
+        cols = [*self.keys, self.order_col, self.op_col, *payload_cols, "_bucket"]
+        sides = batch_b.select(*cols)
+        if current_paths:
+            cur = (
+                self.spark.read.option("mergeSchema", "true").parquet(*current_paths)
+                .withColumn(self.op_col, F.lit("u"))
+                .withColumn("_bucket", self._bucket_expr())
+            )
+            sides = sides.unionByName(
+                cur.select(*[c for c in cols if c in cur.columns]),
+                allowMissingColumns=True,
+            )
+        merged = (
+            lww_latest(sides, self.keys + ["_bucket"], self.order_col,
+                       payload_cols + [self.op_col])
+            .filter(F.col(self.op_col) != self.delete_op)
+            .drop(self.op_col)
+        )
+        epoch_rel = f"data/e{epoch:06d}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        if os.path.exists(epoch_dir):  # orphan from a crashed attempt
+            shutil.rmtree(epoch_dir)
+        to_write = (
+            merged.repartition(max(1, len(touched)), "_bucket")
+            if self.write_repartition
+            else merged
+        )
+        if self.sort_within_buckets:
+            to_write = to_write.sortWithinPartitions("_bucket", *self.keys)
+        to_write.write.partitionBy("_bucket").parquet(epoch_dir)
+        written = {
+            int(d.split("=", 1)[1]): f"{epoch_rel}/{d}"
+            for d in os.listdir(epoch_dir)
+            if d.startswith("_bucket=")
+        }
+        for b in touched:
+            if b in written:
+                buckets_map[str(b)] = written[b]
+            else:  # bucket fully deleted by this epoch
+                buckets_map.pop(str(b), None)
+        if entry["has_lineage"]:
+            self._write_lineage_rows(entry["lineage"], epoch)
+        stats = {
+            "epoch": epoch,
+            "touched_buckets": len(touched),
+            "lineage": entry["lineage"],
+            "buckets": buckets_map,
+            "num_buckets": self.num_buckets,
+        }
+        manifest = dict(self._manifest)
+        manifest["buckets"] = buckets_map
+        manifest["epochs"] = manifest["epochs"] + [stats]
+        if entry["meta"]:
+            manifest["meta"] = {**manifest.get("meta", {}), **entry["meta"]}
+        staged = dict(manifest.get("staged", {}))
+        staged.pop(str(epoch), None)
+        manifest["staged"] = staged
+        self._commit_manifest(manifest)
+        shutil.rmtree(staged_dir)  # crash before this: vacuum() collects
+        return {**stats, "published": True}
+
+    def discard(self, epoch: int) -> dict:
+        """Drop a staged epoch (failed audit / abandoned attempt). The
+        epoch can be re-staged afterwards; nothing of it remains visible
+        (no lineage was written at stage time)."""
+        self._staged_entry(epoch)
+        manifest = dict(self._manifest)
+        staged = dict(manifest["staged"])
+        staged.pop(str(epoch))
+        manifest["staged"] = staged
+        self._commit_manifest(manifest)
+        staged_dir = os.path.join(self.root, f"staged/e{epoch:06d}")
+        if os.path.exists(staged_dir):
+            shutil.rmtree(staged_dir)
+        return {"epoch": epoch, "discarded": True}
+
+    def publish_if(self, epoch: int, expectations: dict) -> dict:
+        """Audit, then publish only on a clean report — the WAP gate in
+        one call. A failing epoch STAYS staged for inspection (read it
+        with ``read_staged_delta`` / ``read_staged``, then ``discard()``
+        or fix-and-restage)."""
+        report = self.audit_staged(epoch, expectations)
+        if not report["passed"]:
+            return {"epoch": epoch, "published": False, "audit": report}
+        pub = self.publish(epoch)
+        return {**pub, "published": True, "audit": report}
 
     # ----- metadata tables (Iceberg history/snapshots/files analogue) ----
 
