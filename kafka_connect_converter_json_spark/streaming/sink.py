@@ -82,6 +82,52 @@ class ManifestWriter:
         os.replace(tmp, path)  # atomic commit point (POSIX rename)
 
 
+_Z_BITS = 16  # per-column resolution of the Z-order curve
+
+
+def _z_scaled_raw(col: str, dtype) -> "F.Column":
+    """Map a column onto a monotonic double for Z-order scaling.
+
+    Numeric / boolean / timestamp / date cast directly. Strings map
+    through their first 6 UTF-8 bytes right-padded with 0x00 — a 48-bit
+    big-endian integer (exact in a double), monotone w.r.t. the string's
+    lexicographic byte order, the same prefix-truncation trick Iceberg's
+    ``zorder`` transform uses on string columns. Sharp edge (shared with
+    Iceberg truncation): values sharing a common >= 6-byte prefix (e.g.
+    every path starting ``src/``) all map to one constant — that lane
+    contributes nothing to the curve. Strip the common prefix into a
+    derived column first, or zorder on a higher-entropy column."""
+    from pyspark.sql.types import (
+        BooleanType, DateType, NumericType, StringType, TimestampType,
+    )
+
+    if isinstance(dtype, StringType):
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.encode(F.col(col), "UTF-8"), 1, 6)), 12, "0"),
+            16, 10,
+        ).cast("double")
+    if isinstance(dtype, (NumericType, BooleanType)):
+        return F.col(col).cast("double")
+    if isinstance(dtype, (TimestampType, DateType)):
+        return F.col(col).cast("timestamp").cast("double")
+    raise ValueError(
+        f"zorder column {col!r} has unsupported type {dtype.simpleString()}; "
+        "supported: numeric, string, boolean, date, timestamp"
+    )
+
+
+def _z_interleave(scaled: list["F.Column"]) -> "F.Column":
+    """Interleave k 16-bit lanes into one Z-value (Morton code): bit i of
+    lane j lands at position i*k + j. Pure JVM bit arithmetic (16*k
+    shift/mask terms), whole-stage-codegen friendly — no UDF."""
+    k = len(scaled)
+    z = F.lit(0).cast("long")
+    for j, s in enumerate(scaled):
+        for i in range(_Z_BITS):
+            z = z + F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * k + j)
+    return z
+
+
 def classify_state_diff(
     old: DataFrame,
     new: DataFrame,
@@ -821,29 +867,61 @@ class BucketedMergeSink:
                 )
         raise ValueError(f"epoch {epoch} is not committed")
 
-    def compact(self) -> dict:
+    def compact(
+        self,
+        zorder: list[str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> dict:
         """Fold pending MOR deltas into a fresh base (the Iceberg
         rewrite_data_files / Delta OPTIMIZE analogue): one LWW job over
         base ∪ deltas, written bucket-partitioned, committed through the
         same manifest CAS. Readers see the old (base, deltas) snapshot
         until the commit; prior epoch snapshots keep their delta paths
         (time travel intact until vacuum). After compaction reads are
-        plain scans again."""
+        plain scans again.
+
+        ``zorder=[cols]`` additionally clusters each bucket along a
+        Morton (Z-order) curve over the named columns — the Delta
+        ``OPTIMIZE ZORDER BY`` / Iceberg ``rewrite_data_files(zorder)``
+        analogue — and splits every bucket into ``files_per_bucket``
+        equal-count files cut along the curve. Each file then covers a
+        TIGHT range on EVERY zorder column simultaneously, so
+        ``analyze()`` + ``read_where`` skip files on any of them (a
+        single-column sort makes one column prunable and scatters the
+        rest). Z-ordering a base rewrite is also valid with NO pending
+        deltas (a pure re-cluster), including on COW tables. Cost: one
+        per-bucket window (rank along the curve) on top of the plain
+        compaction shuffle — buckets sort independently, so parallelism
+        is num_buckets exactly as in the plain path. The curve value is
+        16 bits per column, pure JVM bit arithmetic (no UDF); column
+        min/max for scaling come from one aggregation job."""
         deltas = list(self._manifest.get("deltas", []))
-        if not deltas:
+        if not deltas and zorder is None:
             return {"compacted": False, "deltas_folded": 0}
+        if zorder is not None and not self._manifest["buckets"] and not deltas:
+            return {"compacted": False, "deltas_folded": 0}
+        if files_per_bucket < 1:
+            raise ValueError(f"files_per_bucket must be >= 1, got {files_per_bucket}")
         current = self.read()  # the merged view — already tombstone-free
         seq = len(self._manifest.get("maintenance", []))
         rel_dir = f"data/c{seq:06d}"
         out_dir = os.path.join(self.root, rel_dir)
         if os.path.exists(out_dir):  # orphan from a crashed attempt
             shutil.rmtree(out_dir)
-        (
-            current.withColumn("_bucket", self._bucket_expr())
-            .repartition(self.num_buckets, "_bucket")
-            .write.partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        bucketed = current.withColumn("_bucket", self._bucket_expr())
+        if zorder is not None:
+            to_write = self._zorder_clustered(current, bucketed, zorder,
+                                              files_per_bucket)
+            # one file per (bucket, slice): each written file is a
+            # CONTIGUOUS curve segment, so its min/max is tight on every
+            # zorder column. The _slice subdirs then flatten into the
+            # bucket dirs (num_buckets * files_per_bucket metadata
+            # renames on the driver — bounded, no data pass).
+            to_write.write.partitionBy("_bucket", "_slice").parquet(out_dir)
+            self._flatten_slice_dirs(out_dir)
+        else:
+            to_write = bucketed.repartition(self.num_buckets, "_bucket")
+            to_write.write.partitionBy("_bucket").parquet(out_dir)
         new_map = {
             d.split("=", 1)[1]: f"{rel_dir}/{d}"
             for d in os.listdir(out_dir)
@@ -852,12 +930,95 @@ class BucketedMergeSink:
         manifest = dict(self._manifest)
         manifest["buckets"] = new_map
         manifest["deltas"] = []
-        manifest["maintenance"] = manifest.get("maintenance", []) + [
-            {"op": "compact", "deltas_folded": len(deltas), "dir": rel_dir}
-        ]
+        maint = {"op": "compact", "deltas_folded": len(deltas), "dir": rel_dir}
+        if zorder is not None:
+            maint["zorder"] = list(zorder)
+            maint["files_per_bucket"] = files_per_bucket
+        manifest["maintenance"] = manifest.get("maintenance", []) + [maint]
         self._commit_manifest(manifest)
         return {"compacted": True, "deltas_folded": len(deltas),
                 "buckets_written": len(new_map)}
+
+    @staticmethod
+    def _flatten_slice_dirs(out_dir: str) -> None:
+        """Move ``_bucket=N/_slice=K/part-*.parquet`` up to
+        ``_bucket=N/zK-part-*.parquet`` so the bucket map and file
+        listing keep their flat one-level layout."""
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith("_bucket="):
+                continue
+            bpath = os.path.join(out_dir, bdir)
+            for sdir in sorted(os.listdir(bpath)):
+                if not sdir.startswith("_slice="):
+                    continue
+                spath = os.path.join(bpath, sdir)
+                k = int(sdir.split("=", 1)[1])
+                for fn in sorted(os.listdir(spath)):
+                    if fn.endswith(".parquet"):
+                        os.replace(
+                            os.path.join(spath, fn),
+                            os.path.join(bpath, f"z{k:05d}-{fn}"),
+                        )
+                shutil.rmtree(spath)
+
+    def _zorder_clustered(
+        self,
+        current: DataFrame,
+        bucketed: DataFrame,
+        zorder: list[str],
+        files_per_bucket: int,
+    ) -> DataFrame:
+        """``bucketed`` re-clustered along the Z-order curve: per-bucket
+        rank over the Morton value cuts ``files_per_bucket`` equal-count
+        slices, rows hash-repartition on (bucket, slice) so every slice
+        lands contiguously in one task (deterministic — no sampling), and
+        an in-task sort leaves each written file a contiguous curve
+        segment."""
+        from pyspark.sql import Window
+
+        if not zorder:
+            raise ValueError("zorder needs at least one column")
+        missing = [c for c in zorder if c not in current.columns]
+        if missing:
+            raise ValueError(
+                f"zorder columns {missing} not in table columns {current.columns}"
+            )
+        dtypes = {f.name: f.dataType for f in current.schema.fields}
+        raw = {c: _z_scaled_raw(c, dtypes[c]) for c in zorder}
+        # one job: global min/max per zorder column (nulls ignored)
+        bounds = current.agg(
+            *[F.min(raw[c]).alias(f"_lo_{i}") for i, c in enumerate(zorder)],
+            *[F.max(raw[c]).alias(f"_hi_{i}") for i, c in enumerate(zorder)],
+        ).collect()[0]
+        top = (1 << _Z_BITS) - 1
+        scaled = []
+        for i, c in enumerate(zorder):
+            lo, hi = bounds[f"_lo_{i}"], bounds[f"_hi_{i}"]
+            if lo is None or hi is None or hi <= lo:  # constant/all-null lane
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            s = F.floor((raw[c] - F.lit(float(lo))) * top / F.lit(float(hi - lo)))
+            s = F.least(F.greatest(s, F.lit(0)), F.lit(top))
+            scaled.append(F.coalesce(s, F.lit(0)).cast("long"))  # nulls first
+        out_cols = current.columns
+        w_rank = Window.partitionBy("_bucket").orderBy("_z", *self.keys)
+        w_cnt = Window.partitionBy("_bucket")
+        df = (
+            bucketed.withColumn("_z", _z_interleave(scaled))
+            .withColumn(
+                "_slice",
+                F.floor(
+                    (F.row_number().over(w_rank) - 1)
+                    * files_per_bucket
+                    / F.count(F.lit(1)).over(w_cnt)
+                ).cast("int"),
+            )
+        )
+        return (
+            df.repartition(self.num_buckets * files_per_bucket, "_bucket", "_slice")
+            .sortWithinPartitions("_bucket", "_slice", "_z")
+            .select(*out_cols, "_bucket", "_slice")
+        )
 
     def vacuum(self, keep_epochs: int = 0) -> list[str]:
         """Delete data directories unreachable from the current bucket map
