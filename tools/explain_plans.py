@@ -312,6 +312,26 @@ def main() -> None:
             ["partial_sum"],
         ))
 
+    # 22. Z-order compaction: the per-bucket slice rank must plan a
+    # Window PARTITIONED on _bucket — never a global (single-partition)
+    # sort/window, which would funnel the whole table through one task
+    with tempfile.TemporaryDirectory() as ztmp:
+        zev = gen_events(spark, 2000, n_repos=10, paths_per_repo=20, seed=9)
+        zsink = ingest(spark, zev, f"{ztmp}/sink", 2000, n_epochs=1,
+                       compact_every=None)
+        zcur = zsink.read()
+        zplan = formatted(
+            zsink._zorder_clustered(
+                zcur, zcur.withColumn("_bucket", zsink._bucket_expr()),
+                ["lsn"], 4,
+            )
+        )
+        sections.append((
+            "Z-order compaction (per-bucket window rank, no global sort)",
+            zplan,
+            ["Window", "windowspecdefinition(_bucket#"],
+        ))
+
     checks = []
     for title, plan, must in sections:
         for needle in must:
@@ -413,6 +433,11 @@ def main() -> None:
         "CartesianProduct" not in hybrid_plan
         and "BroadcastNestedLoopJoin" not in hybrid_plan
         and "LeftSemi" in hybrid_plan,
+    ))
+    checks.append((
+        "Z-order compaction (per-bucket window rank, no global sort)",
+        "no SinglePartition exchange (cluster rank never funnels)",
+        "SinglePartition" not in zplan,
     ))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
