@@ -867,6 +867,84 @@ class BucketedMergeSink:
                 )
         raise ValueError(f"epoch {epoch} is not committed")
 
+    def restore(self, to_epoch: int, as_epoch: int) -> dict:
+        """Roll the table back to a committed snapshot's state (Delta
+        ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
+        ``rollback_to_snapshot`` analogue), committed as a NEW snapshot
+        ``as_epoch``. History is append-only: the rolled-back epochs stay
+        in ``history()`` for audit and remain time-travel readable until
+        ``vacuum``. Metadata-only, O(1) data: the new snapshot points at
+        the restored epoch's EXISTING bucket/delta files — no row is read
+        or written, so restoring a 10^10-row table costs one manifest CAS.
+
+        ``as_epoch`` must exceed every committed epoch id (changelog
+        epoch ranges stay monotone); idempotent on ``as_epoch`` like
+        ``merge``, so a redelivered restore is a committed no-op.
+
+        Changelog semantics compose without special cases because a
+        snapshot's state is a pure function of its (base, deltas):
+        ``read_changes(from_epoch=bad, to_epoch=as_epoch)`` emits the
+        exact REVERTING changes — the COW path diffs the bucket maps; the
+        MOR fast path's structural guards (delta-subset + bucket-map
+        equality) detect the rollback and fall back to the snapshot diff
+        — and a range that starts at-or-after the restore re-enters the
+        O(changed) delta fast path. Downstream derived state (the
+        N20-N23 views/indexes) therefore rolls back by plain refresh.
+
+        If the target snapshot was written under a different bucket count
+        (a ``rebucket()`` landed after it), the count is restored with
+        it, keeping the live layout and ``_bucket_expr`` consistent; a
+        WAP epoch staged under the pre-restore layout then refuses at
+        ``publish`` (stale bucket hash) exactly as across a rebucket.
+        """
+        if as_epoch in self.committed_epochs():
+            return {"epoch": as_epoch, "skipped": True}
+        max_epoch = max(
+            (e["epoch"] for e in self._manifest["epochs"]), default=None
+        )
+        if max_epoch is not None and as_epoch <= max_epoch:
+            raise ValueError(
+                f"as_epoch={as_epoch} must exceed every committed epoch "
+                f"(max committed: {max_epoch}) — changelog ranges are "
+                "keyed on monotone epoch ids"
+            )
+        snap = self._snapshot(to_epoch)
+        vac = self._manifest.get("vacuumed_below")
+        if vac is not None and to_epoch < vac:
+            raise ValueError(
+                f"epoch {to_epoch} lost time travel to vacuum() "
+                f"(vacuumed below {vac}) — its snapshot files are gone"
+            )
+        rels = list(snap["buckets"].values()) + list(snap.get("deltas", []))
+        self._require_rels(rels)
+        snap_nb = int(snap.get("num_buckets", self.num_buckets))
+        entry = {
+            "epoch": as_epoch,
+            "touched_buckets": 0,
+            "lineage": [],
+            "buckets": dict(snap["buckets"]),
+            "deltas": list(snap.get("deltas", [])),
+            "num_buckets": snap_nb,
+            "restore_of": to_epoch,
+        }
+        manifest = dict(self._manifest)
+        manifest["buckets"] = dict(snap["buckets"])
+        manifest["deltas"] = list(snap.get("deltas", []))
+        manifest["num_buckets"] = snap_nb
+        manifest["epochs"] = manifest["epochs"] + [entry]
+        manifest["maintenance"] = manifest.get("maintenance", []) + [
+            {"op": "restore", "of_epoch": to_epoch, "as_epoch": as_epoch}
+        ]
+        self._commit_manifest(manifest)
+        self.num_buckets = snap_nb
+        return {
+            "epoch": as_epoch,
+            "restored_to": to_epoch,
+            "num_buckets": snap_nb,
+            "base_files": len(entry["buckets"]),
+            "delta_dirs": len(entry["deltas"]),
+        }
+
     def compact(
         self,
         zorder: list[str] | None = None,
