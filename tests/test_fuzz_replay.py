@@ -190,3 +190,47 @@ def test_fuzz_all_keys_deleted_yields_empty_state(spark, tmp_path):
     assert sink.read().count() == 0
     oracle = _oracle(rows)
     assert len(oracle) == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_restore_roundtrip(spark, tmp_path, seed):
+    """Randomized rollback differential: ingest the full adversarial
+    stream, apply a random maintenance prefix (compact/rebucket — the
+    operations whose guards restore must compose with), restore to a
+    random epoch, and check the state against the oracle reduced over
+    ONLY that epoch window's LSNs; then replay the tail LSN range as
+    fresh epochs and check the state reconverges to the FULL oracle —
+    rollback followed by re-delivery loses and resurrects nothing."""
+    rows, p = _gen_stream(seed)
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    root = str(tmp_path / f"fzr{seed}")
+    kw = dict(
+        n_epochs=p["n_epochs"],
+        num_buckets=p["num_buckets"],
+        merge_mode=p["merge_mode"],
+    )
+    sink = ingest(spark, events, root, p["span"], **kw)
+
+    rng = random.Random(7000 + seed)
+    if p["merge_mode"] == "mor" and rng.random() < 0.5:
+        sink.compact()
+    if rng.random() < 0.4:
+        sink.rebucket(rng.choice([2, 6]))
+    e = rng.randrange(p["n_epochs"])
+    sink.restore(e, as_epoch=100)
+    assert sink.num_buckets == p["num_buckets"]  # snapshot's own count
+
+    per_epoch = max(1, -(-p["span"] // p["n_epochs"]))
+    cut = (e + 1) * per_epoch
+    partial = [r for r in rows if r[0] < cut]
+    cols = ["repo", "path", "commit", "lang", "content", "lsn"]
+    got = sink.read().select(*cols).toPandas()
+    assert _state_hash(got) == _state_hash(_oracle(partial))
+
+    sink2 = ingest(
+        spark, events, root, p["span"], n_epochs=2,
+        num_buckets=sink.num_buckets, merge_mode=p["merge_mode"],
+        epoch_offset=101, lsn_lo=cut,
+    )
+    got2 = sink2.read().select(*cols).toPandas()
+    assert _state_hash(got2) == _state_hash(_oracle(rows))
