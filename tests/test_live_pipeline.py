@@ -149,3 +149,43 @@ def test_stale_and_idempotent_refresh_across_components(pipeline):
     assert _rows(view.read()) == final["view_exp"]
     assert _rows(lsh.read_bands()) == final["lsh_exp"]
     assert _rows(ann.read_assignments()) == final["ann_exp"]
+
+
+def test_rollback_propagates_to_all_derived_states(
+    spark, pipeline, tmp_path_factory
+):
+    """N25 × N20-N23: restore the sink to an earlier epoch, refresh, and
+    every derived state — aggregate view, LSH band table, ANN
+    assignments, BM25 postings — must retract the rolled-back versions
+    through the reverting preimage changelog and land exactly on the
+    restored state's batch expectation. No component has rollback code;
+    the changelog's pure-function-of-state property carries all of it.
+    (Defined last: it mutates the shared sink.)"""
+    from kafka_connect_converter_json_spark.streaming.text_index import (
+        IncrementalBM25Index,
+    )
+
+    sink, view, lsh, ann, per_epoch = pipeline
+    tmp = tmp_path_factory.mktemp("live_rb")
+    last = max(s["epoch"] for s in per_epoch)
+    bm25 = IncrementalBM25Index(spark, str(tmp / "bm25"), sink, num_buckets=8)
+    bm25.refresh(to_epoch=last)
+
+    target = per_epoch[1]["epoch"]
+    sink.restore(target, as_epoch=100)
+    state = sink.read_as_of(100)
+    for comp in (view, lsh, ann, bm25):
+        assert comp.refresh(to_epoch=100)["refreshed"] is True
+
+    assert _rows(view.read()) == _rows(
+        state.groupBy("repo").agg(
+            F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn")
+        )
+    )
+    assert _rows(lsh.read_bands()) == _rows(lsh._band_rows(state))
+    assert _rows(ann.read_assignments()) == _rows(
+        ann._assign(ann._vec_rows(state), ann.centroids)
+    )
+    assert _rows(bm25.read_postings()) == _rows(
+        bm25._posting_rows(state).select("term", "id", "tf")
+    )
