@@ -782,16 +782,27 @@ class BucketedMergeSink:
             list(self._manifest.get("deltas", [])),
         )
 
-    def read_key(self, *key_values) -> DataFrame:
-        """Point lookup: the live row(s) for one key, reading ONLY the
-        key's bucket — `pmod(xxhash64(key), num_buckets)` names the single
-        bucket directory that can hold it, so the scan touches 1/num_buckets
-        of the table (plus that bucket's pending deltas in MOR mode), and
-        with ``sort_within_buckets`` parquet row-group min/max stats skip
-        inside the file too. The O(1)-ish key fetch a 10^10-row table
-        needs; equivalent to ``read().filter(keys = values)``."""
-        if len(key_values) != len(self.keys):
-            raise ValueError(f"expected {len(self.keys)} key values ({self.keys})")
+    def _bucket_lookup(
+        self, cols: list[str], values: tuple, as_of: int | None
+    ) -> DataFrame:
+        """Shared single-bucket lookup core for ``read_key``/``read_prefix``,
+        optionally against a committed snapshot (``as_of``). CRITICAL for
+        time travel: the probe hashes with the SNAPSHOT's own recorded
+        bucket count — a ``rebucket()`` (or a ``restore`` across one)
+        committed after that epoch changes the live count while the
+        snapshot's layout keeps the count it was written under; probing
+        with the live count would read the wrong bucket directory and
+        silently return no rows (the same trap the MOR changelog's
+        candidate pruning guards against)."""
+        if as_of is None:
+            snap_buckets = self._manifest["buckets"]
+            snap_deltas = self._manifest.get("deltas", [])
+            snap_nb = self.num_buckets
+        else:
+            snap = self._snapshot(as_of)
+            snap_buckets = snap["buckets"]
+            snap_deltas = snap.get("deltas", [])
+            snap_nb = int(snap.get("num_buckets", self.num_buckets))
         ktypes = self._key_types()
 
         def _klit(k, v):
@@ -799,24 +810,50 @@ class BucketedMergeSink:
             return lit.cast(ktypes[k]) if k in ktypes else lit
 
         row = self.spark.range(1).select(
-            *[_klit(k, v).alias(k) for k, v in zip(self.keys, key_values)]
+            *[_klit(k, v).alias(k) for k, v in zip(cols, values)]
         )
-        bucket = str(row.select(self._bucket_expr().alias("b")).collect()[0].b)
-        base = self._manifest["buckets"].get(bucket)
+        probe = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.bucket_cols]), F.lit(snap_nb)
+        )
+        bucket = str(row.select(probe.alias("b")).collect()[0].b)
+        base = snap_buckets.get(bucket)
         deltas = [
-            rel for rel in self._manifest.get("deltas", [])
-            if rel.endswith(f"_bucket={bucket}")
+            rel for rel in snap_deltas if rel.endswith(f"_bucket={bucket}")
         ]
         if base is None and not deltas:
-            return self.read().limit(0)  # empty frame with the live schema
+            # empty frame with that snapshot's live schema
+            empty_src = self.read_as_of(as_of) if as_of is not None else self.read()
+            return empty_src.limit(0)
+        rels = ([base] if base else []) + deltas
+        if as_of is not None:
+            self._require_rels(rels)  # vacuumed snapshot → clear error
         df = self._merged_view([base] if base else [], deltas)
         cond = None
-        for k, v in zip(self.keys, key_values):
+        for k, v in zip(cols, values):
             eq = F.col(k) == _klit(k, v)
             cond = eq if cond is None else (cond & eq)
         return df.filter(cond)
 
-    def read_prefix(self, *prefix_values) -> DataFrame:
+    def read_key(self, *key_values, as_of: int | None = None) -> DataFrame:
+        """Point lookup: the live row(s) for one key, reading ONLY the
+        key's bucket — `pmod(xxhash64(key), num_buckets)` names the single
+        bucket directory that can hold it, so the scan touches 1/num_buckets
+        of the table (plus that bucket's pending deltas in MOR mode), and
+        with ``sort_within_buckets`` parquet row-group min/max stats skip
+        inside the file too. The O(1)-ish key fetch a 10^10-row table
+        needs; equivalent to ``read().filter(keys = values)``.
+
+        ``as_of`` performs the same single-bucket lookup against a
+        committed snapshot (time-travel point read, e.g. "what was this
+        key before the rollback") — equivalent to
+        ``read_as_of(e).filter(...)`` at 1/num_buckets of the cost; the
+        probe uses the snapshot's own recorded bucket count, so lookups
+        across a later ``rebucket()``/``restore`` stay correct."""
+        if len(key_values) != len(self.keys):
+            raise ValueError(f"expected {len(self.keys)} key values ({self.keys})")
+        return self._bucket_lookup(self.keys, key_values, as_of)
+
+    def read_prefix(self, *prefix_values, as_of: int | None = None) -> DataFrame:
         """Prefix lookup (needs ``bucket_cols`` ⊂ keys at creation): all
         live rows whose ``bucket_cols`` equal ``prefix_values`` — e.g.
         every path of one repo when keys=(repo, path), bucket_cols=
@@ -825,35 +862,14 @@ class BucketedMergeSink:
         of it, base or delta) lives in exactly one bucket directory; the
         scan touches 1/num_buckets of the table, then the exact equality
         filter applies post-merge. Equivalent to
-        ``read().filter(bucket_cols = prefix_values)``."""
+        ``read().filter(bucket_cols = prefix_values)``; ``as_of`` gives
+        the snapshot-time variant (see ``read_key``)."""
         if len(prefix_values) != len(self.bucket_cols):
             raise ValueError(
                 f"expected {len(self.bucket_cols)} values for bucket_cols="
                 f"{self.bucket_cols}, got {len(prefix_values)}"
             )
-        ktypes = self._key_types()
-
-        def _klit(k, v):
-            lit = F.lit(v)
-            return lit.cast(ktypes[k]) if k in ktypes else lit
-
-        row = self.spark.range(1).select(
-            *[_klit(k, v).alias(k) for k, v in zip(self.bucket_cols, prefix_values)]
-        )
-        bucket = str(row.select(self._bucket_expr().alias("b")).collect()[0].b)
-        base = self._manifest["buckets"].get(bucket)
-        deltas = [
-            rel for rel in self._manifest.get("deltas", [])
-            if rel.endswith(f"_bucket={bucket}")
-        ]
-        if base is None and not deltas:
-            return self.read().limit(0)  # empty frame with the live schema
-        df = self._merged_view([base] if base else [], deltas)
-        cond = None
-        for k, v in zip(self.bucket_cols, prefix_values):
-            eq = F.col(k) == _klit(k, v)
-            cond = eq if cond is None else (cond & eq)
-        return df.filter(cond)
+        return self._bucket_lookup(self.bucket_cols, prefix_values, as_of)
 
     def read_as_of(self, epoch: int) -> DataFrame:
         """Time travel: table state as of a committed epoch (the epoch's

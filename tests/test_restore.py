@@ -220,3 +220,65 @@ def test_incremental_view_rolls_back_by_refresh(spark, tmp_path):
         )
     )
     assert _rows(view.read().select("repo", "n", "total")) == expected
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_read_key_as_of_time_travel(spark, tmp_path, mode):
+    """Snapshot point lookup ≡ read_as_of().filter at every epoch —
+    including one where the key is deleted (empty result) and one
+    after a restore."""
+    sink = _sink(spark, tmp_path / "s", mode)
+    _three_epochs(spark, sink)  # key (repo-0000, f_00005) deleted in e3
+    sink.restore(1, as_epoch=100)
+    key = ("repo-0000", "f_00005")
+    for e in (1, 2, 3, 100):
+        got = _rows(sink.read_key(*key, as_of=e))
+        exp = _rows(
+            sink.read_as_of(e).filter(
+                (F.col("repo") == key[0]) & (F.col("path") == key[1])
+            )
+        )
+        assert got == exp, f"as_of={e}"
+    assert _rows(sink.read_key(*key, as_of=3)) == []  # deleted at e3
+    assert _rows(sink.read_key(*key, as_of=100)) != []  # resurrected
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_read_key_as_of_probes_snapshot_bucket_count(spark, tmp_path, mode):
+    """A lookup at a pre-rebucket snapshot must hash with THAT layout's
+    bucket count — probing with the live count would read the wrong
+    bucket dir and silently return nothing."""
+    sink = _sink(spark, tmp_path / "s", mode, num_buckets=4)
+    sink.merge(_mk_batch(spark, range(60), 0), 1)
+    sink.rebucket(16)
+    sink.merge(_mk_batch(spark, range(30, 90), 100), 2)
+    for i in range(0, 60, 7):  # several keys => several old-layout buckets
+        key = (f"repo-{i % 5:04d}", f"f_{i:05d}")
+        got = _rows(sink.read_key(*key, as_of=1))
+        exp = _rows(
+            sink.read_as_of(1).filter(
+                (F.col("repo") == key[0]) & (F.col("path") == key[1])
+            )
+        )
+        assert got == exp and len(got) == 1, f"key {key}"
+
+
+def test_read_key_as_of_refusals(spark, tmp_path):
+    sink = _sink(spark, tmp_path / "s", "cow")
+    _three_epochs(spark, sink)
+    with pytest.raises(ValueError, match="not committed"):
+        sink.read_key("repo-0000", "f_00005", as_of=42)
+    sink.vacuum()  # old snapshot files gone
+    with pytest.raises(ValueError, match="vacuum"):
+        sink.read_key("repo-0000", "f_00005", as_of=1).collect()
+
+
+def test_read_prefix_as_of(spark, tmp_path):
+    sink = BucketedMergeSink(
+        spark, str(tmp_path / "s"), keys=["repo", "path"], num_buckets=4,
+        merge_mode="mor", bucket_cols=["repo"], compact_every=None,
+    )
+    _three_epochs(spark, sink)
+    got = _rows(sink.read_prefix("repo-0002", as_of=2))
+    exp = _rows(sink.read_as_of(2).filter(F.col("repo") == "repo-0002"))
+    assert got == exp and len(got) > 0
