@@ -37,6 +37,8 @@ Tombstone handling generalizes the reference's null-value passthrough
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -126,6 +128,54 @@ def _z_interleave(scaled: list["F.Column"]) -> "F.Column":
         for i in range(_Z_BITS):
             z = z + F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * k + j)
     return z
+
+
+def _bloom_enc(kind: str, v) -> bytes:
+    """Canonical bytes hashed into per-file Bloom filters — shared by the
+    build pass (``analyze(bloom_cols=...)``) and the probe
+    (``read_where``) so membership answers are exact. ``kind`` is derived
+    from the parquet column type at build time and from the probe value's
+    Python type at probe time; a mismatch means "no evidence"."""
+    if kind == "bool":
+        return b"b:1" if v else b"b:0"
+    if kind == "int":
+        return b"i:%d" % v
+    if kind == "str":
+        return b"s:" + v.encode("utf-8")
+    return b"y:" + bytes(v)
+
+
+def _bloom_maybe_contains(entry: dict, value) -> bool:
+    """False ONLY when the recorded filter proves ``value`` absent from
+    the file; every uncertain case (unsupported/mismatched value kind,
+    malformed entry) answers True = keep the file."""
+    if isinstance(value, bool):
+        kind = "bool"
+    elif isinstance(value, int):
+        kind = "int"
+    elif isinstance(value, str):
+        kind = "str"
+    elif isinstance(value, (bytes, bytearray)):
+        kind = "bytes"
+    else:
+        return True
+    if entry.get("kind") != kind:
+        return True
+    try:
+        m, k = int(entry["m"]), int(entry["k"])
+        bits = base64.b64decode(entry["b64"])
+    except (KeyError, TypeError, ValueError):
+        return True
+    if m <= 0 or k <= 0 or len(bits) * 8 < m:
+        return True  # malformed/truncated bitset: no evidence
+    d = hashlib.md5(_bloom_enc(kind, value)).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
 
 
 def classify_state_diff(
@@ -783,7 +833,7 @@ class BucketedMergeSink:
         )
 
     def _bucket_lookup(
-        self, cols: list[str], values: tuple, as_of: int | None
+        self, cols: list[str], values: tuple, as_of: int | str | None
     ) -> DataFrame:
         """Shared single-bucket lookup core for ``read_key``/``read_prefix``,
         optionally against a committed snapshot (``as_of``). CRITICAL for
@@ -794,6 +844,7 @@ class BucketedMergeSink:
         with the live count would read the wrong bucket directory and
         silently return no rows (the same trap the MOR changelog's
         candidate pruning guards against)."""
+        as_of = self._resolve_epoch(as_of)
         if as_of is None:
             snap_buckets = self._manifest["buckets"]
             snap_deltas = self._manifest.get("deltas", [])
@@ -871,11 +922,13 @@ class BucketedMergeSink:
             )
         return self._bucket_lookup(self.bucket_cols, prefix_values, as_of)
 
-    def read_as_of(self, epoch: int) -> DataFrame:
+    def read_as_of(self, epoch: int | str) -> DataFrame:
         """Time travel: table state as of a committed epoch (the epoch's
         bucket-map + delta-list snapshot is recorded in the manifest at
         commit time — the Iceberg snapshot-read analogue). Valid until
-        ``vacuum``."""
+        ``vacuum``. A tag name (see ``tag()``) is accepted wherever an
+        epoch id is — the ``VERSION AS OF 'tag'`` surface."""
+        epoch = self._resolve_epoch(epoch)
         for e in self._manifest["epochs"]:
             if e["epoch"] == epoch:
                 return self._merged_view(
@@ -883,11 +936,90 @@ class BucketedMergeSink:
                 )
         raise ValueError(f"epoch {epoch} is not committed")
 
-    def restore(self, to_epoch: int, as_epoch: int) -> dict:
+    # ----- named snapshot refs (tags) ------------------------------------
+
+    def _resolve_epoch(self, ref: int | str | None) -> int | None:
+        """Epoch id pass-through, or tag-name -> epoch id resolution —
+        every snapshot-naming surface (``read_as_of``, ``read_changes``,
+        ``restore``, ``read_key``/``read_prefix`` ``as_of``) accepts
+        either."""
+        if ref is None or (isinstance(ref, int) and not isinstance(ref, bool)):
+            return ref
+        if isinstance(ref, str):
+            tags = self._manifest.get("tags", {})
+            if ref not in tags:
+                raise ValueError(f"unknown tag {ref!r} (tags: {sorted(tags)})")
+            return int(tags[ref])
+        raise TypeError(f"epoch ref must be an int or tag name, got {ref!r}")
+
+    def tags(self) -> dict[str, int]:
+        """Live named refs: ``{tag name: epoch id}``."""
+        return {n: int(e) for n, e in self._manifest.get("tags", {}).items()}
+
+    def tag(
+        self, name: str, epoch: int | str | None = None, replace: bool = False
+    ) -> dict:
+        """Name a committed snapshot (the Iceberg TAG ref analogue —
+        ``ALTER TABLE ... CREATE TAG``): audit marks, release pins,
+        reproducible-training-set pins. A tag name is accepted wherever
+        an epoch id is (``read_as_of``, ``restore``, ``read_changes``,
+        ``read_key(as_of=...)``) and — the operational point —
+        ``vacuum()`` PROTECTS tagged snapshots' files, so a pinned
+        state stays readable under any retention setting until the tag
+        is dropped. Metadata-only (one manifest CAS). Default ``epoch``:
+        the latest committed one. Re-tagging the same epoch is an
+        idempotent no-op; moving a tag requires ``replace=True``."""
+        if not isinstance(name, str) or not name:
+            raise ValueError("tag name must be a non-empty string")
+        epoch = self._resolve_epoch(epoch)
+        if epoch is None:
+            epoch = max(
+                (e["epoch"] for e in self._manifest["epochs"]), default=None
+            )
+            if epoch is None:
+                raise ValueError("cannot tag an empty table (no committed epochs)")
+        snap = self._snapshot(epoch)  # refuses uncommitted epochs
+        self._require_rels(
+            list(snap["buckets"].values()) + list(snap.get("deltas", []))
+        )
+        tags = dict(self._manifest.get("tags", {}))
+        if name in tags:
+            if int(tags[name]) == epoch:
+                return {"tag": name, "epoch": epoch, "skipped": True}
+            if not replace:
+                raise ValueError(
+                    f"tag {name!r} already points at epoch {tags[name]} "
+                    "(pass replace=True to move it)"
+                )
+        tags[name] = int(epoch)
+        manifest = dict(self._manifest)
+        manifest["tags"] = tags
+        manifest["maintenance"] = manifest.get("maintenance", []) + [
+            {"op": "tag", "name": name, "epoch": int(epoch)}
+        ]
+        self._commit_manifest(manifest)
+        return {"tag": name, "epoch": int(epoch), "skipped": False}
+
+    def drop_tag(self, name: str) -> dict:
+        """Remove a named ref; its snapshot becomes vacuum-eligible like
+        any other."""
+        tags = dict(self._manifest.get("tags", {}))
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r} (tags: {sorted(tags)})")
+        epoch = int(tags.pop(name))
+        manifest = dict(self._manifest)
+        manifest["tags"] = tags
+        manifest["maintenance"] = manifest.get("maintenance", []) + [
+            {"op": "drop_tag", "name": name, "epoch": epoch}
+        ]
+        self._commit_manifest(manifest)
+        return {"tag": name, "epoch": epoch, "dropped": True}
+
+    def restore(self, to_epoch: int | str, as_epoch: int) -> dict:
         """Roll the table back to a committed snapshot's state (Delta
         ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
         ``rollback_to_snapshot`` analogue), committed as a NEW snapshot
-        ``as_epoch``. History is append-only: the rolled-back epochs stay
+        ``as_epoch``. ``to_epoch`` accepts a tag name (``tag()``). History is append-only: the rolled-back epochs stay
         in ``history()`` for audit and remain time-travel readable until
         ``vacuum``. Metadata-only, O(1) data: the new snapshot points at
         the restored epoch's EXISTING bucket/delta files — no row is read
@@ -913,6 +1045,7 @@ class BucketedMergeSink:
         WAP epoch staged under the pre-restore layout then refuses at
         ``publish`` (stale bucket hash) exactly as across a rebucket.
         """
+        to_epoch = self._resolve_epoch(to_epoch)
         if as_epoch in self.committed_epochs():
             return {"epoch": as_epoch, "skipped": True}
         max_epoch = max(
@@ -925,14 +1058,17 @@ class BucketedMergeSink:
                 "keyed on monotone epoch ids"
             )
         snap = self._snapshot(to_epoch)
-        vac = self._manifest.get("vacuumed_below")
-        if vac is not None and to_epoch < vac:
-            raise ValueError(
-                f"epoch {to_epoch} lost time travel to vacuum() "
-                f"(vacuumed below {vac}) — its snapshot files are gone"
-            )
         rels = list(snap["buckets"].values()) + list(snap.get("deltas", []))
-        self._require_rels(rels)
+        try:
+            self._require_rels(rels)
+        except ValueError:
+            vac = self._manifest.get("vacuumed_below")
+            if vac is not None and to_epoch < vac:
+                raise ValueError(
+                    f"epoch {to_epoch} lost time travel to vacuum() "
+                    f"(vacuumed below {vac}) — its snapshot files are gone"
+                )
+            raise
         snap_nb = int(snap.get("num_buckets", self.num_buckets))
         entry = {
             "epoch": as_epoch,
@@ -1119,12 +1255,20 @@ class BucketedMergeSink:
         and the last ``keep_epochs`` epoch snapshots (orphans from crashed
         attempts + superseded copy-on-write files). Returns removed paths.
         Storage hygiene at scale: without vacuum, COW keeps every epoch's
-        full rewrite forever."""
+        full rewrite forever. Snapshots named by a live ``tag()`` are
+        PROTECTED regardless of ``keep_epochs`` — a pinned state stays
+        time-travel readable until its tag is dropped (the Iceberg
+        ref-retention rule)."""
         keep: set[str] = set(self._manifest["buckets"].values())
         keep.update(self._manifest.get("deltas", []))  # pending MOR deltas are live
         for e in self._manifest["epochs"][-keep_epochs:] if keep_epochs else []:
             keep.update(e["buckets"].values())
             keep.update(e.get("deltas", []))
+        tagged = {int(e) for e in self._manifest.get("tags", {}).values()}
+        for e in self._manifest["epochs"]:
+            if e["epoch"] in tagged:
+                keep.update(e["buckets"].values())
+                keep.update(e.get("deltas", []))
         keep_rel = set(keep)
         removed = []
         data_root = os.path.join(self.root, "data")
@@ -1593,6 +1737,7 @@ class BucketedMergeSink:
         ``vacuum``. Built from the manifest alone — O(epochs × source
         partitions) driver work, no data file is opened."""
         vac = self._manifest.get("vacuumed_below")
+        tagged = {int(t) for t in self._manifest.get("tags", {}).values()}
         rows = []
         for e in self._manifest["epochs"]:
             lin = e.get("lineage", []) or []
@@ -1606,7 +1751,12 @@ class BucketedMergeSink:
                     len(e.get("buckets", {})),
                     len(e.get("deltas", [])),
                     int(e.get("num_buckets", self.num_buckets)),
-                    bool(vac is not None and e["epoch"] < vac),
+                    # tag-protected snapshots survive vacuum below the mark
+                    bool(
+                        vac is not None
+                        and e["epoch"] < vac
+                        and e["epoch"] not in tagged
+                    ),
                 )
             )
         schema = (
@@ -1683,13 +1833,28 @@ class BucketedMergeSink:
     # ----- file column stats + stats-pruned scan (data skipping) ---------
 
     def _read_stats(self) -> dict:
+        """Stats file, normalized to ``{"minmax": {path: {col: [lo, hi]}},
+        "bloom": {path: {col: bloom-entry}}}``. Files written before the
+        bloom extension hold the flat minmax layout at top level; paths
+        always contain a ``/`` so the two layouts cannot collide."""
         rel = self._manifest.get("stats_file")
         if not rel:
-            return {}
+            return {"minmax": {}, "bloom": {}}
         with open(os.path.join(self.root, rel)) as fh:
-            return json.load(fh)
+            raw = json.load(fh)
+        if "minmax" in raw or "bloom" in raw:
+            return {
+                "minmax": raw.get("minmax", {}),
+                "bloom": raw.get("bloom", {}),
+            }
+        return {"minmax": raw, "bloom": {}}  # legacy flat layout
 
-    def analyze(self, cols: list[str] | None = None) -> dict:
+    def analyze(
+        self,
+        cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 0.01,
+    ) -> dict:
         """Collect per-FILE column min/max from parquet FOOTERS and commit
         them through the manifest CAS — the Iceberg per-file column-stats
         (``ANALYZE`` / manifest-entry ``lower_bounds``/``upper_bounds``)
@@ -1703,12 +1868,33 @@ class BucketedMergeSink:
         is read, and the driver collect is bounded by the live file
         count. Stats are recorded for int/float/str/bool columns whose
         every row group carries min/max; anything else is left absent
-        (= never pruned on). Default ``cols``: merge keys + order_col."""
+        (= never pruned on). Default ``cols``: merge keys + order_col.
+
+        ``bloom_cols`` additionally builds a per-FILE Bloom filter over
+        each named column's distinct values (the Delta bloom-filter-index
+        / Parquet column-bloom analogue): ``read_where`` then skips files
+        whose filter PROVES an equality predicate's value absent — the
+        evidence min/max cannot give on high-cardinality columns whose
+        per-file ranges overlap (a commit-hash point lookup is the
+        canonical case). Building blooms READS the named columns (one
+        distributed pass over the todo files, column-pruned,
+        row-group-streamed — never the whole row); sizing is the standard
+        ``m = -n·ln(fpp)/ln²2`` from the file's distinct count, capped at
+        128 KiB of bits per column per file. Supported value kinds:
+        int / str / bool / binary — anything else is skipped (= no bloom
+        evidence, never wrong). Like min/max, blooms are incremental over
+        immutable files: a file is re-opened only for requested bloom
+        columns it does not already carry."""
         cols = list(cols) if cols is not None else [*self.keys, self.order_col]
+        bloom_cols = list(bloom_cols or [])
+        if not 0.0 < float(bloom_fpp) < 1.0:
+            raise ValueError("bloom_fpp must be in (0, 1)")
         live_paths = [e[0] for e in self._live_file_entries()]
         prev = self._read_stats()
-        todo = [p for p in live_paths if p not in prev]
-        merged = {p: prev[p] for p in live_paths if p in prev}
+        todo = [p for p in live_paths if p not in prev["minmax"]]
+        merged = {
+            p: prev["minmax"][p] for p in live_paths if p in prev["minmax"]
+        }
         if todo:
             root = self.root
             want = list(cols)
@@ -1761,11 +1947,117 @@ class BucketedMergeSink:
                 _footer_stats, schema="path string, stats string"
             ).collect():
                 merged[row["path"]] = json.loads(row["stats"])
+
+        bloom_merged = {
+            p: dict(prev["bloom"][p]) for p in live_paths if p in prev["bloom"]
+        }
+        bloom_todo = [
+            p
+            for p in live_paths
+            if any(c not in bloom_merged.get(p, {}) for c in bloom_cols)
+        ]
+        if bloom_cols and bloom_todo:
+            root = self.root
+            want_b = list(bloom_cols)
+            fpp = float(bloom_fpp)
+
+            def _file_blooms(batches):
+                import math
+
+                import pandas as pd
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                def _kind(t):
+                    if pa.types.is_boolean(t):
+                        return "bool"
+                    if pa.types.is_integer(t):
+                        return "int"
+                    if pa.types.is_string(t) or pa.types.is_large_string(t):
+                        return "str"
+                    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                        return "bytes"
+                    return None  # no bloom evidence for other types
+
+                for pdf in batches:
+                    out = []
+                    for p in pdf["path"]:
+                        pf = pq.ParquetFile(os.path.join(root, p))
+                        names = set(pf.schema_arrow.names)
+                        kinds = {
+                            c: _kind(pf.schema_arrow.field(c).type)
+                            for c in want_b
+                            if c in names
+                        }
+                        here = [c for c in kinds if kinds[c]]
+                        digests: dict[str, set] = {c: set() for c in here}
+                        if here:
+                            for rb in pf.iter_batches(
+                                columns=here, batch_size=65536
+                            ):
+                                for c in here:
+                                    col = rb.column(
+                                        rb.schema.get_field_index(c)
+                                    )
+                                    add, kd = digests[c].add, kinds[c]
+                                    for v in col.to_pylist():
+                                        if v is not None:
+                                            add(
+                                                hashlib.md5(
+                                                    _bloom_enc(kd, v)
+                                                ).digest()
+                                            )
+                        # unsupported kind or column absent from this
+                        # file: record an explicit no-evidence marker so
+                        # the file is never re-opened for this column
+                        entry = {c: None for c in want_b if c not in here}
+                        for c in here:
+                            n = len(digests[c])
+                            m = (
+                                64
+                                if n == 0
+                                else int(
+                                    -n * math.log(fpp) / (math.log(2) ** 2)
+                                )
+                                + 1
+                            )
+                            m = max(64, min(m, 1 << 20))
+                            kk = (
+                                min(16, max(1, round(m / n * math.log(2))))
+                                if n
+                                else 1
+                            )
+                            bits = bytearray((m + 7) // 8)
+                            for d in digests[c]:
+                                h1 = int.from_bytes(d[:8], "little")
+                                h2 = int.from_bytes(d[8:], "little") | 1
+                                for i in range(kk):
+                                    pos = (h1 + i * h2) % m
+                                    bits[pos >> 3] |= 1 << (pos & 7)
+                            entry[c] = {
+                                "m": m,
+                                "k": kk,
+                                "kind": kinds[c],
+                                "b64": base64.b64encode(bytes(bits)).decode(),
+                            }
+                        out.append(json.dumps(entry))
+                    yield pd.DataFrame({"path": pdf["path"], "bloom": out})
+
+            listing_b = self.spark.createDataFrame(
+                [(p,) for p in bloom_todo], "path string"
+            ).repartition(min(len(bloom_todo), 32))
+            for row in listing_b.mapInPandas(
+                _file_blooms, schema="path string, bloom string"
+            ).collect():
+                bloom_merged.setdefault(row["path"], {}).update(
+                    json.loads(row["bloom"])
+                )
+
         seq = int(self._manifest.get("stats_seq", 0)) + 1
         rel = f"stats/s{seq:06d}.json"
         os.makedirs(os.path.join(self.root, "stats"), exist_ok=True)
         with open(os.path.join(self.root, rel), "w") as fh:
-            json.dump(merged, fh)
+            json.dump({"minmax": merged, "bloom": bloom_merged}, fh)
         manifest = dict(self._manifest)
         manifest["stats_file"] = rel
         manifest["stats_seq"] = seq
@@ -1774,6 +2066,8 @@ class BucketedMergeSink:
             "files_analyzed": len(todo),
             "files_total": len(live_paths),
             "cols": cols,
+            "files_bloomed": len(bloom_todo) if bloom_cols else 0,
+            "bloom_cols": bloom_cols,
         }
 
     def read_where(self, predicates: dict) -> DataFrame:
@@ -1806,7 +2100,18 @@ class BucketedMergeSink:
         bound). That is the tail-scan shape (``lsn >= X``) a CDC consumer
         runs constantly; the symmetric UPPER bound stays unsound there
         because a file above it can hold the winner that masks an
-        in-range old version (use ``read_as_of`` for time travel)."""
+        in-range old version (use ``read_as_of`` for time travel).
+
+        An EQUALITY predicate (``lo == hi``, both non-None) additionally
+        consults the column's per-file Bloom filter when
+        ``analyze(bloom_cols=[...])`` recorded one: a file is skipped
+        when the filter proves the value absent, which prunes
+        high-cardinality point lookups (commit hashes, paths) whose
+        per-file min/max ranges all overlap. Bloom evidence obeys the
+        SAME key/delta gating as min/max — it is a stronger answer to
+        the same "can this file hold a matching row?" question — and a
+        false-positive bit pattern merely keeps a file (the exact filter
+        still runs), so fpp affects scan cost, never correctness."""
         if not predicates:
             raise ValueError("read_where needs at least one column predicate")
         preds: dict[str, tuple] = {}
@@ -1829,20 +2134,26 @@ class BucketedMergeSink:
         }
 
         def _keep(path: str, bucket: int, usable: dict[str, tuple]) -> bool:
-            st = stats.get(path)
-            if not st:
-                return True
+            st = stats["minmax"].get(path) or {}
+            bl = stats["bloom"].get(path) or {}
             for c, (lo, hi) in usable.items():
                 rng = st.get(c)
-                if not rng:
-                    continue
-                try:
-                    if (hi is not None and rng[0] > hi) or (
-                        lo is not None and rng[1] < lo
-                    ):
-                        return False
-                except TypeError:  # pred/stat type mismatch: keep
-                    continue
+                if rng:
+                    try:
+                        if (hi is not None and rng[0] > hi) or (
+                            lo is not None and rng[1] < lo
+                        ):
+                            return False
+                    except TypeError:  # pred/stat type mismatch: keep
+                        pass
+                bloom_entry = bl.get(c)  # None marker = no evidence
+                if (
+                    lo is not None
+                    and lo == hi
+                    and bloom_entry
+                    and not _bloom_maybe_contains(bloom_entry, lo)
+                ):
+                    return False
             return True
 
         base_files: list[str] = []
@@ -1884,8 +2195,8 @@ class BucketedMergeSink:
 
     def read_changes(
         self,
-        to_epoch: int,
-        from_epoch: int | None = None,
+        to_epoch: int | str,
+        from_epoch: int | str | None = None,
         include_preimages: bool = False,
     ) -> DataFrame:
         """Incremental changelog between two committed snapshots — the
@@ -1909,6 +2220,8 @@ class BucketedMergeSink:
         cost is O(changed data), not O(table). Within changed buckets a
         key changed iff its stored ``order_col`` changed (LWW: one
         version per key per snapshot, monotone in ``order_col``)."""
+        to_epoch = self._resolve_epoch(to_epoch)
+        from_epoch = self._resolve_epoch(from_epoch)
         if self.merge_mode == "mor":
             return self._read_changes_mor(to_epoch, from_epoch, include_preimages)
         fm, tm = self._snapshot_map(from_epoch), self._snapshot_map(to_epoch)

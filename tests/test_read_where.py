@@ -179,11 +179,11 @@ def test_analyze_after_compact_gcs_dead_paths(spark, tmp_path):
     )
     sink.merge(_mk_batch(spark, range(80), 0), epoch=1)
     sink.analyze()
-    pre = set(sink._read_stats())
+    pre = set(sink._read_stats()["minmax"])
     sink.merge(_mk_batch(spark, range(40), 1000), epoch=2)
     sink.compact()
     sink.analyze()
-    post = set(sink._read_stats())
+    post = set(sink._read_stats()["minmax"])
     assert post.isdisjoint(pre)  # compaction rewrote every live file
     assert post == {e[0] for e in sink._live_file_entries()}
     got = sink.read_where({"lsn": (1000, None)})
