@@ -878,7 +878,39 @@ class BucketedMergeSink:
         rels = ([base] if base else []) + deltas
         if as_of is not None:
             self._require_rels(rels)  # vacuumed snapshot → clear error
-        df = self._merged_view([base] if base else [], deltas)
+        base_rels, delta_rels = ([base] if base else []), deltas
+        stats = self._read_stats()
+        if stats["minmax"] or stats["bloom"]:
+            # within-bucket file skipping: the lookup columns are merge
+            # keys (read_prefix's bucket_cols ⊆ keys), and key-equality
+            # evidence legally prunes ANY file, deltas included — key
+            # values are immutable across a row's versions and delete
+            # tombstones carry their key columns, so a file whose stats
+            # exclude the value holds no version of it. Pays off when
+            # compaction cut each bucket into several files
+            # (files_per_bucket > 1): analyze()d point lookups read only
+            # the files that can hold the key. Exact filter still
+            # applies below; unanalyzed files are kept.
+            preds = {k: (v, v) for k, v in zip(cols, values)}
+
+            def _prune(dir_rels: list[str]) -> list[str]:
+                out = []
+                for rel in dir_rels:
+                    d = os.path.join(self.root, rel)
+                    for fn in sorted(os.listdir(d)):
+                        if fn.endswith(".parquet") and self._stats_keep(
+                            stats, f"{rel}/{fn}", preds
+                        ):
+                            out.append(f"{rel}/{fn}")
+                return out
+
+            base_rels, delta_rels = _prune(base_rels), _prune(delta_rels)
+            if not base_rels and not delta_rels:
+                empty_src = (
+                    self.read_as_of(as_of) if as_of is not None else self.read()
+                )
+                return empty_src.limit(0)
+        df = self._merged_view(base_rels, delta_rels)
         cond = None
         for k, v in zip(cols, values):
             eq = F.col(k) == _klit(k, v)
@@ -891,8 +923,11 @@ class BucketedMergeSink:
         bucket directory that can hold it, so the scan touches 1/num_buckets
         of the table (plus that bucket's pending deltas in MOR mode), and
         with ``sort_within_buckets`` parquet row-group min/max stats skip
-        inside the file too. The O(1)-ish key fetch a 10^10-row table
-        needs; equivalent to ``read().filter(keys = values)``.
+        inside the file too, and on an ``analyze()``d table the recorded
+        per-file min/max + Bloom evidence skips files WITHIN the bucket
+        (the multi-file-bucket case ``compact(files_per_bucket=k)``
+        creates). The O(1)-ish key fetch a 10^10-row table needs;
+        equivalent to ``read().filter(keys = values)``.
 
         ``as_of`` performs the same single-bucket lookup against a
         committed snapshot (time-travel point read, e.g. "what was this
@@ -1832,6 +1867,37 @@ class BucketedMergeSink:
 
     # ----- file column stats + stats-pruned scan (data skipping) ---------
 
+    def _stats_keep(
+        self, stats: dict, path: str, preds: dict[str, tuple]
+    ) -> bool:
+        """Can this file hold a row matching every predicate, on the
+        recorded evidence? Min/max range disjointness and — for equality
+        predicates (``lo == hi``) — Bloom proof of absence both answer
+        no; every uncertain case (no stats, type mismatch, no-evidence
+        marker) keeps the file. Callers are responsible for the LWW
+        gating of WHICH predicates may prune which file."""
+        st = stats["minmax"].get(path) or {}
+        bl = stats["bloom"].get(path) or {}
+        for c, (lo, hi) in preds.items():
+            rng = st.get(c)
+            if rng:
+                try:
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                except TypeError:  # pred/stat type mismatch: keep
+                    pass
+            bloom_entry = bl.get(c)  # None marker = no evidence
+            if (
+                lo is not None
+                and lo == hi
+                and bloom_entry
+                and not _bloom_maybe_contains(bloom_entry, lo)
+            ):
+                return False
+        return True
+
     def _read_stats(self) -> dict:
         """Stats file, normalized to ``{"minmax": {path: {col: [lo, hi]}},
         "bloom": {path: {col: bloom-entry}}}``. Files written before the
@@ -2134,27 +2200,7 @@ class BucketedMergeSink:
         }
 
         def _keep(path: str, bucket: int, usable: dict[str, tuple]) -> bool:
-            st = stats["minmax"].get(path) or {}
-            bl = stats["bloom"].get(path) or {}
-            for c, (lo, hi) in usable.items():
-                rng = st.get(c)
-                if rng:
-                    try:
-                        if (hi is not None and rng[0] > hi) or (
-                            lo is not None and rng[1] < lo
-                        ):
-                            return False
-                    except TypeError:  # pred/stat type mismatch: keep
-                        pass
-                bloom_entry = bl.get(c)  # None marker = no evidence
-                if (
-                    lo is not None
-                    and lo == hi
-                    and bloom_entry
-                    and not _bloom_maybe_contains(bloom_entry, lo)
-                ):
-                    return False
-            return True
+            return self._stats_keep(stats, path, usable)
 
         base_files: list[str] = []
         delta_files: list[str] = []

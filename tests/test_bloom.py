@@ -246,3 +246,72 @@ def test_bloom_fpp_validation(spark, cow_sink):
         cow_sink.analyze(bloom_cols=["score"], bloom_fpp=0.0)
     with pytest.raises(ValueError):
         cow_sink.analyze(bloom_cols=["score"], bloom_fpp=1.5)
+
+
+def test_read_key_skips_files_within_bucket(spark, tmp_path):
+    """compact(files_per_bucket=k) cuts each bucket into several files;
+    an analyze()d point lookup then reads only the files whose recorded
+    key evidence can hold the key — key equality prunes ANY file."""
+    root = str(tmp_path / "rk")
+    sink = BucketedMergeSink(
+        spark, root, keys=["repo", "path"], num_buckets=2,
+        merge_mode="mor", compact_every=None,
+    )
+    sink.merge(_mk(spark, range(400), 0), epoch=1)
+    # zorder by the NON-key column: path values interleave across the
+    # bucket's files, so only the bloom (not min/max) can skip them
+    sink.compact(zorder=["score"], files_per_bucket=4)
+    by_bucket = {}
+    for p, _k, b, _s in sink._live_file_entries():
+        by_bucket.setdefault(b, []).append(p)
+    assert all(len(v) == 4 for v in by_bucket.values())
+    sink.analyze(bloom_cols=["repo", "path"])
+    want = sink.read().filter(
+        (F.col("repo") == "repo-0003") & (F.col("path") == "f_00003")
+    )
+    got = sink.read_key("repo-0003", "f_00003")
+    assert _rows(got) == _rows(want)
+    assert got.count() == 1
+    assert 0 < len(got.inputFiles()) < 4  # skipped files inside the bucket
+    # absent key: every file of the bucket is provably clean
+    none = sink.read_key("repo-9999", "f_99999")
+    assert none.count() == 0
+    assert none.schema == sink.read().schema
+
+
+def test_read_key_as_of_with_unanalyzed_snapshot_files(spark, tmp_path):
+    """Snapshot files superseded by compaction carry no stats (analyze
+    covers live files): the as-of lookup keeps them and stays exact."""
+    root = str(tmp_path / "rka")
+    sink = BucketedMergeSink(
+        spark, root, keys=["repo", "path"], num_buckets=2,
+        merge_mode="mor", compact_every=None,
+    )
+    sink.merge(_mk(spark, range(100), 0), epoch=1)
+    sink.merge(_mk(spark, range(30), 1000, op="d"), epoch=2)  # delete 0..29
+    sink.compact(zorder=["score"], files_per_bucket=3)
+    sink.analyze(bloom_cols=["repo", "path"])
+    # live: id 7 was deleted
+    assert sink.read_key("repo-0000", "f_00007").count() == 0
+    # as-of epoch 1 it existed; those files are unanalyzed -> kept
+    got = sink.read_key("repo-0000", "f_00007", as_of=1)
+    want = sink.read_as_of(1).filter(
+        (F.col("repo") == "repo-0000") & (F.col("path") == "f_00007")
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() == 1
+
+
+def test_read_prefix_stats_parity(spark, tmp_path):
+    root = str(tmp_path / "rp")
+    sink = BucketedMergeSink(
+        spark, root, keys=["repo", "path"], num_buckets=2,
+        merge_mode="mor", compact_every=None, bucket_cols=["repo"],
+    )
+    sink.merge(_mk(spark, range(200), 0), epoch=1)
+    sink.compact(zorder=["score"], files_per_bucket=3)
+    sink.analyze(bloom_cols=["repo"])
+    got = sink.read_prefix("repo-0003")
+    want = sink.read().filter(F.col("repo") == "repo-0003")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
