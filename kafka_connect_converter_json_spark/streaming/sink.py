@@ -1375,7 +1375,13 @@ class BucketedMergeSink:
             )
         return entry
 
-    def stage(self, batch: DataFrame, epoch: int, meta: dict | None = None) -> dict:
+    def stage(
+        self,
+        batch: DataFrame,
+        epoch: int,
+        meta: dict | None = None,
+        branch: str | None = None,
+    ) -> dict:
         """Write one epoch's CDC events into the invisible staging area.
 
         Same batch contract as ``merge()``; idempotent on ``epoch``
@@ -1386,7 +1392,18 @@ class BucketedMergeSink:
         written under ``staged/``; the staged entry — including its
         lineage stats and any ``meta`` — rides the manifest so staging
         survives crash/restart, but NO reader sees it until ``publish``.
+
+        ``branch`` labels the staged epoch as part of a named multi-epoch
+        chain (the Iceberg audit-BRANCH analogue): stack several epochs
+        on one branch, query the chain's candidate state with
+        ``read_branch``, audit it with ``audit_branch``, then land it
+        atomically-per-epoch with ``fast_forward`` (or drop it with
+        ``discard_branch``). Sound because every staged delta is
+        LWW-reduced and LWW is order-insensitive on ``order_col``: the
+        chain's merged state equals publishing its epochs in any order.
         """
+        if branch is not None and (not isinstance(branch, str) or not branch):
+            raise ValueError("branch must be a non-empty string")
         if epoch in self.committed_epochs():
             return {"epoch": epoch, "skipped": True, "reason": "already committed"}
         if epoch in self.staged_epochs():
@@ -1461,6 +1478,8 @@ class BucketedMergeSink:
             "num_buckets": self.num_buckets,
             "meta": meta or {},
         }
+        if branch is not None:
+            entry["branch"] = branch
         manifest = dict(self._manifest)
         staged = dict(manifest.get("staged", {}))
         staged[str(epoch)] = entry
@@ -1505,12 +1524,29 @@ class BucketedMergeSink:
         One aggregation job over the staged delta (+ one over the
         candidate state iff ``expect_state`` is given). Returns a report;
         never mutates the sink."""
+        checks = self._run_expectations(
+            self.read_staged_delta(epoch),
+            expectations,
+            lambda: self.read_staged(epoch),
+        )
+        return {
+            "epoch": epoch,
+            "passed": all(c["passed"] for c in checks.values()),
+            "checks": checks,
+        }
+
+    def _run_expectations(
+        self, delta: DataFrame, expectations: dict, state_fn
+    ) -> dict:
+        """Shared expectation engine for ``audit_staged`` (one epoch) and
+        ``audit_branch`` (a chain): delta-level checks in ONE aggregation
+        job over ``delta``; ``expect_state`` checks in one more over
+        ``state_fn()``."""
         known = {"min_rows", "max_rows", "max_delete_fraction", "not_null",
                  "expect", "expect_state"}
         unknown = set(expectations) - known
         if unknown:
             raise ValueError(f"unknown expectation keys: {sorted(unknown)}")
-        delta = self.read_staged_delta(epoch)
         live = F.col(self.op_col) != self.delete_op
         aggs = [
             F.count(F.lit(1)).alias("_n_total"),
@@ -1558,7 +1594,7 @@ class BucketedMergeSink:
             checks[f"expect:{name}"] = {"passed": v == 0, "violations": v}
         state_exprs = expectations.get("expect_state", {})
         if state_exprs:
-            state = self.read_staged(epoch)
+            state = state_fn()
             s_aggs = [
                 F.sum(
                     F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
@@ -1569,11 +1605,93 @@ class BucketedMergeSink:
             for name in state_exprs:
                 v = s_row[f"_st_{name}"] or 0
                 checks[f"expect_state:{name}"] = {"passed": v == 0, "violations": v}
+        return checks
+
+    # ----- audit branches (multi-epoch WAP chains) -----------------------
+
+    def branches(self) -> dict[str, list[int]]:
+        """Live audit branches: ``{name: sorted staged epoch ids}``."""
+        out: dict[str, list[int]] = {}
+        for e_str, entry in self._manifest.get("staged", {}).items():
+            b = entry.get("branch")
+            if b:
+                out.setdefault(b, []).append(int(e_str))
+        return {b: sorted(v) for b, v in out.items()}
+
+    def _branch_epochs(self, name: str) -> list[int]:
+        eps = self.branches().get(name)
+        if not eps:
+            raise ValueError(
+                f"no staged epochs on branch {name!r} "
+                f"(branches: {sorted(self.branches())})"
+            )
+        return eps
+
+    def read_branch(self, name: str) -> DataFrame:
+        """The CANDIDATE table state of a whole audit branch: what
+        ``read()`` would return after ``fast_forward(name)`` — current
+        base + pending deltas + EVERY staged delta on the branch, merged
+        under LWW. Valid because each staged delta is LWW-reduced and
+        LWW is order-insensitive; audits run real queries here with no
+        visibility side effect."""
+        rels: list[str] = []
+        for e in self._branch_epochs(name):
+            rels.extend(self._staged_entry(e)["delta_rels"])
+        return self._merged_view(
+            list(self._manifest["buckets"].values()),
+            list(self._manifest.get("deltas", [])) + rels,
+        )
+
+    def audit_branch(self, name: str, expectations: dict) -> dict:
+        """``audit_staged`` over a chain: delta-level expectations run
+        over the UNION of the branch's staged deltas (a key updated in
+        two chain epochs contributes both versions to the counts);
+        ``expect_state`` runs over the chain candidate state
+        (``read_branch``). One aggregation job each."""
+        eps = self._branch_epochs(name)
+        delta = self.read_staged_delta(eps[0])
+        for e in eps[1:]:
+            delta = delta.unionByName(
+                self.read_staged_delta(e), allowMissingColumns=True
+            )
+        checks = self._run_expectations(
+            delta, expectations, lambda: self.read_branch(name)
+        )
         return {
-            "epoch": epoch,
+            "branch": name,
+            "epochs": eps,
             "passed": all(c["passed"] for c in checks.values()),
             "checks": checks,
         }
+
+    def fast_forward(self, name: str) -> dict:
+        """Land an audited branch: ``publish`` every staged epoch of the
+        branch in ascending epoch order (each publish is the same atomic
+        manifest CAS as always — O(1) rename per epoch in MOR mode).
+        Idempotent/resumable: a crash mid-way leaves a prefix published;
+        re-running skips committed epochs and lands the rest. Refuses —
+        before publishing anything — if a ``rebucket()`` intervened
+        since any chain epoch was staged."""
+        eps = self._branch_epochs(name)
+        stale = [
+            e for e in eps
+            if self._staged_entry(e)["num_buckets"] != self.num_buckets
+        ]
+        if stale:
+            raise ValueError(
+                f"branch {name!r} epochs {stale} were staged under a "
+                f"different bucket count than the sink's current "
+                f"{self.num_buckets}; discard_branch() and re-stage"
+            )
+        results = [self.publish(e) for e in eps]
+        return {"branch": name, "published": eps, "results": results}
+
+    def discard_branch(self, name: str) -> dict:
+        """Drop every staged epoch of a branch without trace."""
+        eps = self._branch_epochs(name)
+        for e in eps:
+            self.discard(e)
+        return {"branch": name, "discarded": eps}
 
     def publish(self, epoch: int) -> dict:
         """Atomically make a staged epoch visible — the commit point of
