@@ -335,6 +335,24 @@ def convert_events(
     )
 
 
+class IngestAuditError(RuntimeError):
+    """An epoch failed its ``ingest(audit=...)`` expectations. Carries
+    the epoch id and the full ``audit_staged`` report; with the default
+    ``audit_on_fail="keep"`` the staged epoch remains on disk for
+    inspection and a manual ``publish``/``discard``."""
+
+    def __init__(self, epoch: int, report: dict):
+        self.epoch = epoch
+        self.report = report
+        failed = sorted(
+            name for name, c in report["checks"].items() if not c["passed"]
+        )
+        super().__init__(
+            f"epoch {epoch} failed audit expectations {failed}; the epoch "
+            "is staged but NOT published"
+        )
+
+
 def ingest(
     spark: SparkSession,
     events: DataFrame,
@@ -351,6 +369,8 @@ def ingest(
     pipeline_observe: bool = True,
     epoch_offset: int = 0,
     lsn_lo: int = 0,
+    audit: dict | None = None,
+    audit_on_fail: str = "keep",
     **sink_kwargs,
 ) -> BucketedMergeSink:
     """Replay ``events`` into the sink in ``n_epochs`` LSN-range epochs.
@@ -372,7 +392,21 @@ def ingest(
     ``streaming.bootstrap``): epochs get ids ``epoch_offset ..
     epoch_offset + n_epochs - 1`` and cover LSNs ``[lsn_lo, n_events)``.
     Defaults (0, 0) preserve the original single-phase behavior exactly.
+
+    ``audit`` routes every epoch through write-audit-publish instead of
+    a direct merge (the reference's per-record fail-fast admission,
+    JC:508-549, generalized onto the replay driver): the converted epoch
+    is ``stage``d invisibly, ``audit_staged`` runs the expectations (see
+    its docstring for the keys), and only a passing epoch ``publish``es.
+    A failing epoch raises :class:`IngestAuditError` carrying the report
+    — with ``audit_on_fail="keep"`` (default) the staged epoch stays on
+    disk for inspection (``read_staged_delta``) and a later manual
+    ``publish``/``discard``; ``"discard"`` drops it first. Resumable
+    like the plain path: a crash between stage and publish re-audits the
+    already-staged epoch on the next run and lands it without rewriting.
     """
+    if audit_on_fail not in ("keep", "discard"):
+        raise ValueError("audit_on_fail must be 'keep' or 'discard'")
     config = config or default_config()
     registry = registry or SchemaRegistry()
     sink = BucketedMergeSink(
@@ -460,7 +494,18 @@ def ingest(
             # the registry snapshot commits atomically WITH the epoch, so the
             # checkpoint always carries the schema state that produced it
             meta = {"registry": registry.to_json()} if parse_mode == "native" else None
-            sink.merge(typed, epoch, meta=meta)
+            if audit is None:
+                sink.merge(typed, epoch, meta=meta)
+            else:
+                # WAP gate: stage (no-op if a crashed prior run already
+                # staged this epoch), audit, publish-or-fail
+                sink.stage(typed, epoch, meta=meta)
+                report = sink.audit_staged(epoch, audit)
+                if not report["passed"]:
+                    if audit_on_fail == "discard":
+                        sink.discard(epoch)
+                    raise IngestAuditError(epoch, report)
+                sink.publish(epoch)
             done += 1
             if fail_after_epochs is not None and done >= fail_after_epochs:
                 raise RuntimeError(f"injected crash after {done} epochs (test hook)")

@@ -1938,15 +1938,32 @@ class BucketedMergeSink:
         the manifest's live dirs (bounded by buckets × pending-delta
         epochs — never a recursive storage walk); rows/bytes come from
         each file's parquet FOOTER, opened DISTRIBUTED via mapInPandas
-        so the driver never touches a footer and no column data is read."""
+        so the driver never touches a footer and no column data is read.
+        ``stats_cols``/``bloom_cols`` report which columns carry
+        ``analyze()`` evidence for the file (empty array = unanalyzed —
+        ``read_where``/point lookups keep it conservatively), making
+        skipping coverage auditable per file."""
         out_schema = (
             "path string, kind string, bucket int, source string, "
-            "rows bigint, bytes bigint"
+            "rows bigint, bytes bigint, "
+            "stats_cols array<string>, bloom_cols array<string>"
         )
         entries = self._live_file_entries()
         if not entries:
             return self.spark.createDataFrame([], out_schema)
         root = self.root
+        stats = self._read_stats()
+        coverage = [
+            (
+                sorted((stats["minmax"].get(p) or {}).keys()),
+                sorted(
+                    c
+                    for c, e in (stats["bloom"].get(p) or {}).items()
+                    if e is not None  # skip no-evidence markers
+                ),
+            )
+            for p, _k, _b, _s in entries
+        ]
 
         def _footers(batches):
             import pyarrow.parquet as pq
@@ -1956,10 +1973,15 @@ class BucketedMergeSink:
                 full = [os.path.join(root, p) for p in pdf["path"]]
                 pdf["rows"] = [pq.read_metadata(p).num_rows for p in full]
                 pdf["bytes"] = [os.path.getsize(p) for p in full]
-                yield pdf
+                yield pdf[
+                    ["path", "kind", "bucket", "source", "rows", "bytes",
+                     "stats_cols", "bloom_cols"]
+                ]
 
         listing = self.spark.createDataFrame(
-            entries, "path string, kind string, bucket int, source string"
+            [e + c for e, c in zip(entries, coverage)],
+            "path string, kind string, bucket int, source string, "
+            "stats_cols array<string>, bloom_cols array<string>",
         )
         return listing.repartition(min(len(entries), 32)).mapInPandas(
             _footers, schema=out_schema

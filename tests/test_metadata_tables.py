@@ -94,3 +94,35 @@ def test_empty_sink_metadata_tables(spark, tmp_path):
     assert sink.history().count() == 0
     assert sink.files().count() == 0
     assert sink.maintenance_log().count() == 0
+
+
+def test_files_report_stats_and_bloom_coverage(spark, tmp_path):
+    from kafka_connect_converter_json_spark.streaming.sink import (
+        BucketedMergeSink,
+    )
+
+    def _batch(ids, lsn0):
+        return spark.createDataFrame(
+            [(f"r-{i % 5}", f"p-{i:03d}", lsn0 + j, "u") for j, i in
+             enumerate(ids)],
+            "repo string, path string, lsn long, op string",
+        )
+
+    sink = BucketedMergeSink(
+        spark, str(tmp_path / "cov"), keys=["repo", "path"], num_buckets=4,
+        merge_mode="mor", compact_every=None,
+    )
+    sink.merge(_batch(range(40), 0), epoch=1)
+    # unanalyzed: every file reports empty evidence arrays
+    assert all(
+        r["stats_cols"] == [] and r["bloom_cols"] == []
+        for r in sink.files().collect()
+    )
+    sink.analyze(cols=["lsn"], bloom_cols=["repo"])
+    rows = sink.files().collect()
+    assert rows and all(r["stats_cols"] == ["lsn"] for r in rows)
+    assert all(r["bloom_cols"] == ["repo"] for r in rows)
+    # files landed AFTER analyze report empty coverage until re-analyzed
+    sink.merge(_batch(range(40, 50), 1000), epoch=2)
+    cov = {r["path"]: r["stats_cols"] for r in sink.files().collect()}
+    assert [] in cov.values() and ["lsn"] in cov.values()
