@@ -1955,7 +1955,11 @@ class BucketedMergeSink:
         stats = self._read_stats()
         coverage = [
             (
-                sorted((stats["minmax"].get(p) or {}).keys()),
+                sorted(
+                    c
+                    for c, v in (stats["minmax"].get(p) or {}).items()
+                    if v is not None  # skip no-evidence markers
+                ),
                 sorted(
                     c
                     for c, e in (stats["bloom"].get(p) or {}).items()
@@ -2073,8 +2077,12 @@ class BucketedMergeSink:
         Footers are opened DISTRIBUTED via mapInPandas — no column data
         is read, and the driver collect is bounded by the live file
         count. Stats are recorded for int/float/str/bool columns whose
-        every row group carries min/max; anything else is left absent
-        (= never pruned on). Default ``cols``: merge keys + order_col.
+        every row group carries min/max; anything else gets a memoized
+        no-evidence marker (= never pruned on, never re-opened for).
+        Incremental per COLUMN as well as per file: a later
+        ``analyze(cols=[...])`` naming new columns re-opens only the
+        files missing records for them. Default ``cols``: merge keys +
+        order_col.
 
         ``bloom_cols`` additionally builds a per-FILE Bloom filter over
         each named column's distinct values (the Delta bloom-filter-index
@@ -2097,10 +2105,19 @@ class BucketedMergeSink:
             raise ValueError("bloom_fpp must be in (0, 1)")
         live_paths = [e[0] for e in self._live_file_entries()]
         prev = self._read_stats()
-        todo = [p for p in live_paths if p not in prev["minmax"]]
         merged = {
-            p: prev["minmax"][p] for p in live_paths if p in prev["minmax"]
+            p: dict(prev["minmax"][p])
+            for p in live_paths
+            if p in prev["minmax"]
         }
+        # per-COLUMN incremental: a file is re-opened only for requested
+        # columns it has no record for (a null record = "no usable
+        # footer stats for this column", memoized like the bloom markers)
+        todo = [
+            p
+            for p in live_paths
+            if any(c not in merged.get(p, {}) for c in cols)
+        ]
         if todo:
             root = self.root
             want = list(cols)
@@ -2143,6 +2160,10 @@ class BucketedMergeSink:
                                 mx = hi if mx is None or hi > mx else mx
                             if ok:
                                 per_col[c] = [mn, mx]
+                            else:
+                                per_col[c] = None  # memoized no-evidence
+                        for c in want:
+                            per_col.setdefault(c, None)  # column absent
                         stats_json.append(json.dumps(per_col))
                     yield pd.DataFrame({"path": pdf["path"], "stats": stats_json})
 
@@ -2152,7 +2173,8 @@ class BucketedMergeSink:
             for row in listing.mapInPandas(
                 _footer_stats, schema="path string, stats string"
             ).collect():
-                merged[row["path"]] = json.loads(row["stats"])
+                got = json.loads(row["stats"])
+                merged[row["path"]] = {**merged.get(row["path"], {}), **got}
 
         bloom_merged = {
             p: dict(prev["bloom"][p]) for p in live_paths if p in prev["bloom"]

@@ -203,3 +203,31 @@ def test_read_where_validates(spark, cow_sink):
         cow_sink.read_where({})
     with pytest.raises(ValueError):
         cow_sink.read_where({"lsn": (None, None)})
+
+
+def test_analyze_incremental_per_column(spark, tmp_path):
+    """Min/max records are incremental per COLUMN as well as per file: a
+    later analyze() naming a new column re-opens only files missing its
+    record, and unavailable columns memoize a no-evidence marker."""
+    root = str(tmp_path / "percol")
+    sink = BucketedMergeSink(
+        spark, root, keys=["repo", "path"], num_buckets=8, merge_mode="cow",
+        bucket_cols=["repo"],  # repo-correlated files: score ranges tight
+    )
+    sink.merge(_mk_batch(spark, range(80), 0), epoch=1)
+    r1 = sink.analyze(cols=["lsn"])
+    assert r1["files_analyzed"] == r1["files_total"] > 0
+    assert sink.analyze(cols=["lsn"])["files_analyzed"] == 0
+    # a NEW column re-opens every file once...
+    r3 = sink.analyze(cols=["score"])
+    assert r3["files_analyzed"] == r3["files_total"]
+    # ...keeps the old records, and is itself memoized
+    assert sink.analyze(cols=["score", "lsn"])["files_analyzed"] == 0
+    got = sink.read_where({"score": (None, 900), "lsn": (0, None)})
+    want = sink.read().filter(F.col("score") <= 900)
+    assert _rows(got) == _rows(want)
+    assert 0 < len(got.inputFiles()) < len(sink.read().inputFiles())
+    # a column absent from the files memoizes too
+    r5 = sink.analyze(cols=["no_such_col"])
+    assert r5["files_analyzed"] == r5["files_total"]
+    assert sink.analyze(cols=["no_such_col"])["files_analyzed"] == 0
