@@ -1473,6 +1473,9 @@ class BucketedMergeSink:
             "lineage": lineage_stats,
             "has_lineage": has_lineage,
             "delta_rels": written,
+            # staged schema: an EMPTY epoch writes no part files, so the
+            # delta frame must be reconstructible from metadata alone
+            "schema": to_write.schema.json(),
             # the bucket count the staged layout was written under:
             # publish refuses if a rebucket() intervened
             "num_buckets": self.num_buckets,
@@ -1490,8 +1493,14 @@ class BucketedMergeSink:
     def read_staged_delta(self, epoch: int) -> DataFrame:
         """The staged epoch's LWW-reduced rows, tombstone markers included
         (``op_col`` == ``delete_op``) — the audit surface for delta-level
-        expectations."""
-        self._staged_entry(epoch)
+        expectations. An EMPTY staged epoch (a quiet LSN window) returns
+        an empty frame with the recorded schema."""
+        entry = self._staged_entry(epoch)
+        if not entry["delta_rels"]:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+            return self.spark.createDataFrame([], schema).drop("_bucket")
         return self.spark.read.parquet(
             os.path.join(self.root, f"staged/e{epoch:06d}")
         ).drop("_bucket")
@@ -1567,7 +1576,8 @@ class BucketedMergeSink:
                 ).alias(f"_ex_{name}")
             )
         row = delta.agg(*aggs).collect()[0]
-        n_total, n_deletes = row["_n_total"], row["_n_deletes"]
+        # sums are NULL over an empty (quiet-window) delta
+        n_total, n_deletes = row["_n_total"] or 0, row["_n_deletes"] or 0
         n_live = n_total - n_deletes
         checks: dict = {}
         if "min_rows" in expectations:
@@ -1776,6 +1786,29 @@ class BucketedMergeSink:
                 f"staged data for epoch {epoch} is missing on disk "
                 f"({staged_dir}); discard() and re-stage"
             )
+        if not entry["delta_rels"]:
+            # empty epoch (quiet LSN window): commit the snapshot with the
+            # bucket map unchanged — no data pass, mirror of an empty merge
+            if entry["has_lineage"]:
+                self._write_lineage_rows(entry["lineage"], epoch)
+            stats = {
+                "epoch": epoch,
+                "touched_buckets": 0,
+                "lineage": entry["lineage"],
+                "buckets": dict(self._manifest["buckets"]),
+                "deltas": list(self._manifest.get("deltas", [])),
+                "num_buckets": self.num_buckets,
+            }
+            manifest = dict(self._manifest)
+            manifest["epochs"] = manifest["epochs"] + [stats]
+            if entry["meta"]:
+                manifest["meta"] = {**manifest.get("meta", {}), **entry["meta"]}
+            staged = dict(manifest.get("staged", {}))
+            staged.pop(str(epoch), None)
+            manifest["staged"] = staged
+            self._commit_manifest(manifest)
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            return {**stats, "published": True}
         # the staged delta IS a valid merge batch (keys + order + op +
         # payload; already one version per key — LWW is idempotent)
         batch_b = self.spark.read.parquet(staged_dir)  # _bucket from layout

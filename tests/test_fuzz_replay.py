@@ -234,3 +234,41 @@ def test_fuzz_restore_roundtrip(spark, tmp_path, seed):
     )
     got2 = sink2.read().select(*cols).toPandas()
     assert _state_hash(got2) == _state_hash(_oracle(rows))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_audited_ingest_matches_oracle(spark, tmp_path, seed):
+    """ingest(audit=...) with satisfiable expectations must be a state
+    no-op vs the oracle on adversarial streams: the per-epoch WAP gate
+    (stage -> audit -> publish) composes with sparse/EMPTY epochs,
+    injected crashes, and both sink modes without perturbing LWW state.
+    (seed 0 = mor, seed 1 = cow; empty staged epochs exercise the
+    metadata-only publish path.)"""
+    rows, p = _gen_stream(seed)
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    root = str(tmp_path / f"fza{seed}")
+    kw = dict(
+        n_epochs=p["n_epochs"],
+        num_buckets=p["num_buckets"],
+        merge_mode=p["merge_mode"],
+        audit={
+            "min_rows": 0,
+            "max_delete_fraction": 1.0,
+            "expect": {"lsn_nonneg": "lsn >= 0"},
+        },
+    )
+    if p["fail_after"] is not None:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ingest(
+                spark, events, root, p["span"],
+                fail_after_epochs=p["fail_after"], **kw,
+            )
+    sink = ingest(spark, events, root, p["span"], **kw)
+    got = sink.read().select(
+        "repo", "path", "commit", "lang", "content", "lsn"
+    ).toPandas()
+    assert _state_hash(got) == _state_hash(_oracle(rows))
+    assert sink.staged_epochs() == set()
+    assert sorted(e["epoch"] for e in sink._manifest["epochs"]) == list(
+        range(p["n_epochs"])
+    )

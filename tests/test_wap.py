@@ -310,3 +310,29 @@ def test_wap_interleaves_with_plain_merge(spark, tmp_path):
     kinds = {r._change_type for r in ch.collect()}
     assert kinds <= {"insert", "update_postimage", "delete"}
     assert ch.count() == 30
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_empty_epoch_stage_audit_publish(spark, tmp_path, mode):
+    """A quiet LSN window stages ZERO rows: the staged delta must still
+    read back (recorded schema), audit (null-sum aggregates), and
+    publish as a metadata-only snapshot in BOTH modes."""
+    sink = _sink(spark, tmp_path / "empty", mode)
+    sink.merge(_mk_batch(spark, range(30), 0), epoch=1)
+    before = _rows(sink.read())
+    empty = _mk_batch(spark, [], 100)
+    assert sink.stage(empty, epoch=2)["staged"] is True
+    assert sink.read_staged_delta(2).count() == 0
+    rep = sink.audit_staged(
+        2, {"min_rows": 0, "max_delete_fraction": 1.0,
+            "expect": {"ok": "lsn >= 0"}}
+    )
+    assert rep["passed"]
+    assert not sink.audit_staged(2, {"min_rows": 1})["passed"]
+    out = sink.publish(2)
+    assert out["published"] and out["touched_buckets"] == 0
+    assert _rows(sink.read()) == before
+    assert sorted(sink.committed_epochs()) == [1, 2]
+    assert sink.staged_epochs() == set()
+    # time travel to the empty epoch is the same state
+    assert _rows(sink.read_as_of(2)) == before
