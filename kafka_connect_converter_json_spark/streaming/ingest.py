@@ -341,14 +341,16 @@ class IngestAuditError(RuntimeError):
     ``audit_on_fail="keep"`` the staged epoch remains on disk for
     inspection and a manual ``publish``/``discard``."""
 
-    def __init__(self, epoch: int, report: dict):
+    def __init__(self, epoch: int, report: dict, table: str | None = None):
         self.epoch = epoch
         self.report = report
+        self.table = table
         failed = sorted(
             name for name, c in report["checks"].items() if not c["passed"]
         )
+        where = f"table {table!r} epoch {epoch}" if table else f"epoch {epoch}"
         super().__init__(
-            f"epoch {epoch} failed audit expectations {failed}; the epoch "
+            f"{where} failed audit expectations {failed}; the epoch "
             "is staged but NOT published"
         )
 

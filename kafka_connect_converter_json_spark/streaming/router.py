@@ -89,6 +89,8 @@ def route_ingest(
     order_col: str = "lsn",
     op_col: str = "op",
     fail_after: int | None = None,
+    audit: dict | None = None,
+    audit_on_fail: str = "keep",
     **sink_kwargs,
 ) -> dict[str, BucketedMergeSink]:
     """Replay ``events`` into one sink per declared schema, in
@@ -103,9 +105,20 @@ def route_ingest(
     Idempotent per (table, epoch) via each sink's manifest;
     ``fail_after`` injects a crash after that many TABLE-merges total
     (the mid-epoch resume test hook).
+
+    ``audit`` applies the WAP gate per (table, epoch) — every table's
+    epoch batch stages invisibly, runs the expectations (see
+    ``BucketedMergeSink.audit_staged``), and only a passing one
+    publishes; the first failure raises :class:`IngestAuditError`
+    carrying the table name and report. Earlier tables of the same
+    epoch keep their commits (per-(table, epoch) idempotency is the
+    resume unit, exactly as with a crash); ``audit_on_fail`` as in
+    ``ingest``.
     """
     if unknown not in UNKNOWN_POLICIES:
         raise ValueError(f"unknown= must be one of {UNKNOWN_POLICIES}, got {unknown!r}")
+    if audit_on_fail not in ("keep", "discard"):
+        raise ValueError("audit_on_fail must be 'keep' or 'discard'")
     tables = list(config.schema_names)
     key_cols = table_key_columns(config)
     for t in tables:
@@ -164,7 +177,18 @@ def route_ingest(
                 typed = conv.filter(
                     (F.col("schema_name") == t) & F.col("_error").isNull()
                 ).select(*key_cols[t], order_col, op_col, payload_col)
-                sinks[t].merge(typed, epoch)
+                if audit is None:
+                    sinks[t].merge(typed, epoch)
+                else:
+                    from .ingest import IngestAuditError
+
+                    sinks[t].stage(typed, epoch)
+                    report = sinks[t].audit_staged(epoch, audit)
+                    if not report["passed"]:
+                        if audit_on_fail == "discard":
+                            sinks[t].discard(epoch)
+                        raise IngestAuditError(epoch, report, table=t)
+                    sinks[t].publish(epoch)
                 merges_done += 1
                 if fail_after is not None and merges_done >= fail_after:
                     raise RuntimeError(

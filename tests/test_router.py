@@ -155,3 +155,51 @@ def test_unknown_drop_and_quarantine(spark, tmp_path):
     got = sorted(r["lsn"] for r in q.collect())
     assert got == sorted(ghosts)
     assert read_unroutable(spark, str(tmp_path / "d")) is None
+
+
+def test_route_audited_matches_plain(spark, tmp_path):
+    from kafka_connect_converter_json_spark.streaming.ingest import (
+        IngestAuditError,
+    )
+
+    audited = route_ingest(
+        spark, _mk_events(spark), str(tmp_path / "a"), N, _cfg(),
+        n_epochs=3, num_buckets=4,
+        audit={"min_rows": 1, "not_null": ["payload"],
+               "max_delete_fraction": 0.5},
+    )
+    plain = route_ingest(
+        spark, _mk_events(spark), str(tmp_path / "p"), N, _cfg(),
+        n_epochs=3, num_buckets=4,
+    )
+    for t in ("Code", "Users"):
+        kc = ["repo", "path"] if t == "Code" else ["uid"]
+        assert _sink_state(audited[t], kc) == _sink_state(plain[t], kc)
+        assert audited[t].staged_epochs() == set()
+        assert sorted(audited[t].committed_epochs()) == [0, 1, 2]
+
+    # failing gate: the error names the table, the failing epoch stays
+    # staged (keep policy), earlier tables of the epoch keep commits
+    root = str(tmp_path / "f")
+    with pytest.raises(IngestAuditError) as ei:
+        route_ingest(
+            spark, _mk_events(spark), root, N, _cfg(),
+            n_epochs=3, num_buckets=4, audit={"max_rows": 3},
+        )
+    assert ei.value.table in ("Code", "Users") and ei.value.epoch == 0
+    assert ei.value.table in str(ei.value)
+    # resume with a satisfiable gate converges to the plain state
+    done = route_ingest(
+        spark, _mk_events(spark), root, N, _cfg(),
+        n_epochs=3, num_buckets=4, audit={"min_rows": 1},
+    )
+    for t in ("Code", "Users"):
+        kc = ["repo", "path"] if t == "Code" else ["uid"]
+        assert _sink_state(done[t], kc) == _sink_state(plain[t], kc)
+
+    with pytest.raises(ValueError, match="keep.*discard"):
+        route_ingest(
+            spark, _mk_events(spark), str(tmp_path / "v"), N, _cfg(),
+            n_epochs=2, num_buckets=4, audit={"min_rows": 1},
+            audit_on_fail="zap",
+        )
