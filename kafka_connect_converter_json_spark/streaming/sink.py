@@ -145,30 +145,37 @@ def _bloom_enc(kind: str, v) -> bytes:
     return b"y:" + bytes(v)
 
 
-def _bloom_maybe_contains(entry: dict, value) -> bool:
-    """False ONLY when the recorded filter proves ``value`` absent from
-    the file; every uncertain case (unsupported/mismatched value kind,
-    malformed entry) answers True = keep the file."""
+def _bloom_entry_name(c) -> str:
+    """Storage key for a bloom spec: the column name, or the NUL-joined
+    member names for a composite (tuple) bloom."""
+    return "\u0000".join(c) if isinstance(c, (tuple, list)) else c
+
+
+def _bloom_value_kind_enc(value):
+    """(kind, canonical bytes) for a probe value; (None, b"") when the
+    value's type carries no bloom evidence."""
     if isinstance(value, bool):
-        kind = "bool"
-    elif isinstance(value, int):
-        kind = "int"
-    elif isinstance(value, str):
-        kind = "str"
-    elif isinstance(value, (bytes, bytearray)):
-        kind = "bytes"
-    else:
-        return True
-    if entry.get("kind") != kind:
-        return True
+        return "bool", _bloom_enc("bool", value)
+    if isinstance(value, int):
+        return "int", _bloom_enc("int", value)
+    if isinstance(value, str):
+        return "str", _bloom_enc("str", value)
+    if isinstance(value, (bytes, bytearray)):
+        return "bytes", _bloom_enc("bytes", value)
+    return None, b""
+
+
+def _bloom_bits_contain(entry: dict, enc: bytes) -> bool:
+    """False ONLY when the recorded bitset proves the encoded value
+    absent; malformed/truncated entries answer True (no evidence)."""
     try:
         m, k = int(entry["m"]), int(entry["k"])
         bits = base64.b64decode(entry["b64"])
     except (KeyError, TypeError, ValueError):
         return True
     if m <= 0 or k <= 0 or len(bits) * 8 < m:
-        return True  # malformed/truncated bitset: no evidence
-    d = hashlib.md5(_bloom_enc(kind, value)).digest()
+        return True
+    d = hashlib.md5(enc).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:], "little") | 1
     for i in range(k):
@@ -176,6 +183,33 @@ def _bloom_maybe_contains(entry: dict, value) -> bool:
         if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
+
+
+def _bloom_maybe_contains(entry: dict, value) -> bool:
+    """False ONLY when the recorded filter proves ``value`` absent from
+    the file; every uncertain case (unsupported/mismatched value kind,
+    malformed entry) answers True = keep the file."""
+    kind, enc = _bloom_value_kind_enc(value)
+    if kind is None or entry.get("kind") != kind:
+        return True
+    return _bloom_bits_contain(entry, enc)
+
+
+def _bloom_tuple_maybe_contains(entry: dict, values: tuple) -> bool:
+    """Composite-bloom probe: False only when the tuple of values is
+    proven absent; any kind mismatch or arity mismatch = no evidence."""
+    if entry.get("kind") != "tuple":
+        return True
+    kinds = entry.get("kinds") or []
+    if len(kinds) != len(values):
+        return True
+    parts = []
+    for kd, v in zip(kinds, values):
+        pk, enc = _bloom_value_kind_enc(v)
+        if pk is None or pk != kd:
+            return True
+        parts.append(enc)
+    return _bloom_bits_contain(entry, b"\x1f".join(parts))
 
 
 def classify_state_diff(
@@ -892,14 +926,28 @@ class BucketedMergeSink:
             # the files that can hold the key. Exact filter still
             # applies below; unanalyzed files are kept.
             preds = {k: (v, v) for k, v in zip(cols, values)}
+            tuple_name = _bloom_entry_name(tuple(cols)) if len(cols) > 1 else None
+
+            def _keep_file(path: str) -> bool:
+                if not self._stats_keep(stats, path, preds):
+                    return False
+                if tuple_name:
+                    # composite bloom: the evidence that prunes when each
+                    # member column alone is common to every file
+                    entry = (stats["bloom"].get(path) or {}).get(tuple_name)
+                    if entry and not _bloom_tuple_maybe_contains(
+                        entry, tuple(values)
+                    ):
+                        return False
+                return True
 
             def _prune(dir_rels: list[str]) -> list[str]:
                 out = []
                 for rel in dir_rels:
                     d = os.path.join(self.root, rel)
                     for fn in sorted(os.listdir(d)):
-                        if fn.endswith(".parquet") and self._stats_keep(
-                            stats, f"{rel}/{fn}", preds
+                        if fn.endswith(".parquet") and _keep_file(
+                            f"{rel}/{fn}"
                         ):
                             out.append(f"{rel}/{fn}")
                 return out
@@ -1994,7 +2042,7 @@ class BucketedMergeSink:
                     if v is not None  # skip no-evidence markers
                 ),
                 sorted(
-                    c
+                    c.replace(chr(0), "+")  # composite blooms: "a+b"
                     for c, e in (stats["bloom"].get(p) or {}).items()
                     if e is not None  # skip no-evidence markers
                 ),
@@ -2131,9 +2179,29 @@ class BucketedMergeSink:
         int / str / bool / binary — anything else is skipped (= no bloom
         evidence, never wrong). Like min/max, blooms are incremental over
         immutable files: a file is re-opened only for requested bloom
-        columns it does not already carry."""
+        columns it does not already carry.
+
+        A TUPLE entry in ``bloom_cols`` (e.g. ``("repo", "path")``)
+        builds one bloom over the COMPOSITE value per row — the evidence
+        a multi-column point lookup needs when each member column alone
+        is common to every file (500 repos x 400 paths: every file holds
+        most repos and most paths, but only ~1/files of the PAIRS).
+        ``read_key``/``read_prefix`` probe the tuple bloom whose columns
+        exactly match the lookup. Rows with a NULL member are skipped at
+        build time — sound, because an equality probe never matches
+        NULL."""
         cols = list(cols) if cols is not None else [*self.keys, self.order_col]
-        bloom_cols = list(bloom_cols or [])
+        bloom_cols = [
+            tuple(c) if isinstance(c, (tuple, list)) else c
+            for c in (bloom_cols or [])
+        ]
+        for c in bloom_cols:
+            if isinstance(c, tuple) and (
+                len(c) < 2 or not all(isinstance(m, str) for m in c)
+            ):
+                raise ValueError(
+                    f"tuple bloom entry must name >= 2 columns, got {c!r}"
+                )
         if not 0.0 < float(bloom_fpp) < 1.0:
             raise ValueError("bloom_fpp must be in (0, 1)")
         live_paths = [e[0] for e in self._live_file_entries()]
@@ -2215,11 +2283,17 @@ class BucketedMergeSink:
         bloom_todo = [
             p
             for p in live_paths
-            if any(c not in bloom_merged.get(p, {}) for c in bloom_cols)
+            if any(
+                _bloom_entry_name(c) not in bloom_merged.get(p, {})
+                for c in bloom_cols
+            )
         ]
         if bloom_cols and bloom_todo:
             root = self.root
-            want_b = list(bloom_cols)
+            # serializable spec: str = single column, list = tuple bloom
+            want_b = [
+                list(c) if isinstance(c, tuple) else c for c in bloom_cols
+            ]
             fpp = float(bloom_fpp)
 
             def _file_blooms(batches):
@@ -2240,6 +2314,9 @@ class BucketedMergeSink:
                         return "bytes"
                     return None  # no bloom evidence for other types
 
+                def _name(spec):
+                    return "\u0000".join(spec) if isinstance(spec, list) else spec
+
                 for pdf in batches:
                     out = []
                     for p in pdf["path"]:
@@ -2247,31 +2324,64 @@ class BucketedMergeSink:
                         names = set(pf.schema_arrow.names)
                         kinds = {
                             c: _kind(pf.schema_arrow.field(c).type)
-                            for c in want_b
-                            if c in names
+                            for c in names
                         }
-                        here = [c for c in kinds if kinds[c]]
-                        digests: dict[str, set] = {c: set() for c in here}
-                        if here:
+                        singles = [
+                            c for c in want_b
+                            if isinstance(c, str) and kinds.get(c)
+                        ]
+                        tuples = [
+                            c for c in want_b
+                            if isinstance(c, list)
+                            and all(kinds.get(m) for m in c)
+                        ]
+                        here = singles + [_name(c) for c in tuples]
+                        read_cols = sorted(
+                            set(singles)
+                            | {m for c in tuples for m in c}
+                        )
+                        digests: dict[str, set] = {n: set() for n in here}
+                        if read_cols:
                             for rb in pf.iter_batches(
-                                columns=here, batch_size=65536
+                                columns=read_cols, batch_size=65536
                             ):
-                                for c in here:
-                                    col = rb.column(
+                                data = {
+                                    c: rb.column(
                                         rb.schema.get_field_index(c)
-                                    )
+                                    ).to_pylist()
+                                    for c in read_cols
+                                }
+                                for c in singles:
                                     add, kd = digests[c].add, kinds[c]
-                                    for v in col.to_pylist():
+                                    for v in data[c]:
                                         if v is not None:
                                             add(
                                                 hashlib.md5(
                                                     _bloom_enc(kd, v)
                                                 ).digest()
                                             )
+                                for spec in tuples:
+                                    add = digests[_name(spec)].add
+                                    kds = [kinds[m] for m in spec]
+                                    for row in zip(*[data[m] for m in spec]):
+                                        if any(v is None for v in row):
+                                            continue  # NULL never matches =
+                                        joined = b"\x1f".join(
+                                            _bloom_enc(kd, v)
+                                            for kd, v in zip(kds, row)
+                                        )
+                                        add(hashlib.md5(joined).digest())
                         # unsupported kind or column absent from this
                         # file: record an explicit no-evidence marker so
                         # the file is never re-opened for this column
-                        entry = {c: None for c in want_b if c not in here}
+                        entry = {
+                            _name(c): None
+                            for c in want_b
+                            if _name(c) not in here
+                        }
+                        tuple_kinds = {
+                            _name(c): [kinds[m] for m in c] for c in tuples
+                        }
                         for c in here:
                             n = len(digests[c])
                             m = (
@@ -2295,12 +2405,25 @@ class BucketedMergeSink:
                                 for i in range(kk):
                                     pos = (h1 + i * h2) % m
                                     bits[pos >> 3] |= 1 << (pos & 7)
-                            entry[c] = {
-                                "m": m,
-                                "k": kk,
-                                "kind": kinds[c],
-                                "b64": base64.b64encode(bytes(bits)).decode(),
-                            }
+                            if c in tuple_kinds:
+                                entry[c] = {
+                                    "m": m,
+                                    "k": kk,
+                                    "kind": "tuple",
+                                    "kinds": tuple_kinds[c],
+                                    "b64": base64.b64encode(
+                                        bytes(bits)
+                                    ).decode(),
+                                }
+                            else:
+                                entry[c] = {
+                                    "m": m,
+                                    "k": kk,
+                                    "kind": kinds[c],
+                                    "b64": base64.b64encode(
+                                        bytes(bits)
+                                    ).decode(),
+                                }
                         out.append(json.dumps(entry))
                     yield pd.DataFrame({"path": pdf["path"], "bloom": out})
 

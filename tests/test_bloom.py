@@ -315,3 +315,56 @@ def test_read_prefix_stats_parity(spark, tmp_path):
     want = sink.read().filter(F.col("repo") == "repo-0003")
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_composite_bloom_prunes_pair_lookup(spark, tmp_path):
+    """The composite-key trap: each member column alone appears in every
+    file (20 repos x 20 shared paths), so per-column blooms cannot prune
+    a (repo, path) lookup — the tuple bloom can."""
+    root = str(tmp_path / "comp")
+    sink = BucketedMergeSink(
+        spark, root, keys=["repo", "path"], num_buckets=2,
+        merge_mode="mor", compact_every=None,
+    )
+    # coprime member cycles (40, 41) + consecutive scores: every curve
+    # segment of a few hundred rows contains (almost) every repo AND
+    # path value, so per-column evidence keeps (almost) every file;
+    # 1600 of the 1640 combos exist, so absent pairs with both members
+    # present exist
+    rows = [
+        (f"r{n % 40}", f"p{n % 41}", n, "u", n) for n in range(1600)
+    ]
+    pairs = {(r, p) for r, p, *_ in rows}
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lsn long, op string, score long"
+    )
+    sink.merge(df, epoch=1)
+    sink.compact(zorder=["score"], files_per_bucket=4)
+    sink.analyze(bloom_cols=["repo", "path"])
+    probe = ("r0", "p0")  # n = 0
+    want = sink.read().filter(
+        (F.col("repo") == probe[0]) & (F.col("path") == probe[1])
+    )
+    got_single = sink.read_key(*probe)
+    assert _rows(got_single) == _rows(want)
+    files_single = len(got_single.inputFiles())
+    assert files_single >= 3  # members nearly everywhere
+    r = sink.analyze(bloom_cols=[("repo", "path")])
+    assert r["files_bloomed"] > 0
+    got_tuple = sink.read_key(*probe)
+    assert _rows(got_tuple) == _rows(want)
+    files_tuple = len(got_tuple.inputFiles())
+    assert 0 < files_tuple <= 2  # the unique pair lives in one file (+fp)
+    assert files_tuple < files_single
+    # members present, pair absent: the tuple bloom proves every file
+    # clean (r0,p1 <-> n ≡ 1600 mod 1640, outside the generated range)
+    absent = ("r0", "p1")
+    assert absent not in pairs
+    none = sink.read_key(*absent)
+    assert none.count() == 0
+    # coverage column renders the composite name readably
+    covs = {c for row in sink.files().collect() for c in row["bloom_cols"]}
+    assert "repo+path" in covs
+    # validation: a 1-element tuple is a mistake
+    with pytest.raises(ValueError, match="tuple bloom"):
+        sink.analyze(bloom_cols=[("repo",)])
