@@ -1333,7 +1333,7 @@ class BucketedMergeSink:
             .select(*out_cols, "_bucket", "_slice")
         )
 
-    def vacuum(self, keep_epochs: int = 0) -> list[str]:
+    def vacuum(self, keep_epochs: int = 0, dry_run: bool = False) -> list[str]:
         """Delete data directories unreachable from the current bucket map
         and the last ``keep_epochs`` epoch snapshots (orphans from crashed
         attempts + superseded copy-on-write files). Returns removed paths.
@@ -1341,7 +1341,9 @@ class BucketedMergeSink:
         full rewrite forever. Snapshots named by a live ``tag()`` are
         PROTECTED regardless of ``keep_epochs`` — a pinned state stays
         time-travel readable until its tag is dropped (the Iceberg
-        ref-retention rule)."""
+        ref-retention rule). ``dry_run=True`` returns what WOULD be
+        removed without touching disk or manifest (the Delta
+        ``VACUUM ... DRY RUN`` analogue)."""
         keep: set[str] = set(self._manifest["buckets"].values())
         keep.update(self._manifest.get("deltas", []))  # pending MOR deltas are live
         for e in self._manifest["epochs"][-keep_epochs:] if keep_epochs else []:
@@ -1364,26 +1366,30 @@ class BucketedMergeSink:
                     continue
                 rel = f"{full_epoch_rel}/{bucket_dir}"
                 if rel not in keep_rel:
-                    shutil.rmtree(os.path.join(self.root, rel))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(self.root, rel))
                     removed.append(rel)
-            if not any(
+            if not dry_run and not any(
                 d.startswith("_bucket=") for d in os.listdir(os.path.join(data_root, epoch_dir))
             ):
                 shutil.rmtree(os.path.join(data_root, epoch_dir))
         # staged orphans: directories under staged/ with no manifest entry
         # (crash between data write and the stage commit, or a COW publish
-        # that crashed after its manifest flip but before cleanup)
+        # that crashed after its manifest flip but before cleanup). Live
+        # dirs are named from the manifest's staged EPOCH IDS — an EMPTY
+        # staged epoch has no delta_rels but its directory is still live.
         staged_root = os.path.join(self.root, "staged")
         if os.path.isdir(staged_root):
             live_staged = {
-                rel.split("/")[1]
-                for e in self._manifest.get("staged", {}).values()
-                for rel in e["delta_rels"]
+                f"e{int(e):06d}" for e in self._manifest.get("staged", {})
             }
             for d in sorted(os.listdir(staged_root)):
                 if d not in live_staged:
-                    shutil.rmtree(os.path.join(staged_root, d))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(staged_root, d))
                     removed.append(f"staged/{d}")
+        if dry_run:
+            return removed
         # epochs whose snapshots were vacuumed lose time travel; record that
         manifest = dict(self._manifest)
         manifest["vacuumed_below"] = (

@@ -336,3 +336,25 @@ def test_empty_epoch_stage_audit_publish(spark, tmp_path, mode):
     assert sink.staged_epochs() == set()
     # time travel to the empty epoch is the same state
     assert _rows(sink.read_as_of(2)) == before
+
+
+def test_vacuum_dry_run_and_empty_staged_survival(spark, tmp_path):
+    """dry_run previews exactly what vacuum would remove, touching
+    nothing; and a LIVE staged epoch with ZERO rows (no part dirs, so no
+    delta_rels) must never be collected as an orphan — its directory is
+    named from the manifest's staged epoch ids."""
+    sink = _sink(spark, tmp_path / "vac", "mor")
+    sink.merge(_mk_batch(spark, range(30), 0), epoch=1)
+    sink.merge(_mk_batch(spark, range(30), 100), epoch=2)
+    sink.compact()  # old delta dirs become dead
+    sink.stage(_mk_batch(spark, [], 200), epoch=3)  # live EMPTY staged
+    would = sink.vacuum(dry_run=True)
+    assert would  # superseded delta dirs are collectible
+    assert all("staged/e000003" not in p for p in would)
+    assert all(os.path.exists(os.path.join(sink.root, p)) for p in would)
+    assert sink._manifest.get("vacuumed_below") is None  # nothing committed
+    removed = sink.vacuum()
+    assert sorted(removed) == sorted(would)  # the preview told the truth
+    out = sink.publish(3)  # the empty staged epoch still lands
+    assert out["published"]
+    assert sorted(sink.committed_epochs()) == [1, 2, 3]
