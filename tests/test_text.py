@@ -155,6 +155,50 @@ def test_simhash_near_pairs_capped_still_finds_exact_dups(spark):
     assert pairs == {(1, 2, 0)}
 
 
+def test_ngram_jaccard_ppjoin_exact_vs_bruteforce(spark):
+    """The r6 PPJoin prefix+positional candidate path must reproduce the
+    brute-force Jaccard result EXACTLY (pairs, common, sizes, jaccard) on
+    a corpus with heavy cross-doc shingle sharing, across thresholds
+    including the degenerate t=0 (prefix = whole array) and a high t
+    where the positional filter prunes aggressively."""
+    import itertools
+    import re
+
+    base_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(30):
+        words = [base_words[(i + j) % len(base_words)] for j in range(8)]
+        words.append(f"tail{i % 5}")
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(threshold):
+        shingles = {}
+        for i, text in rows:
+            toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            shingles[i] = {
+                " ".join(toks[k: k + 3]) for k in range(len(toks) - 2)
+            }
+        out = set()
+        for ia, ib in itertools.combinations(sorted(shingles), 2):
+            common = len(shingles[ia] & shingles[ib])
+            if common == 0:
+                continue
+            ja = round(common / (len(shingles[ia]) + len(shingles[ib]) - common), 6)
+            if ja >= threshold:
+                out.add((ia, ib, common, len(shingles[ia]), len(shingles[ib]), ja))
+        return out
+
+    for threshold in (0.0, 0.3, 0.8):
+        got = {
+            (r.id_a, r.id_b, r.common, r.sz_a, r.sz_b, r.jaccard)
+            for r in td.ngram_jaccard_pairs(
+                df, n=3, threshold=threshold, max_shingle_freq=1000
+            ).collect()
+        }
+        assert got == brute(threshold), f"mismatch at t={threshold}"
+
+
 def test_ngram_jaccard_chunked_pairs_equivalent(spark):
     """The chunked pair generator (bounded per-row pair arrays) must
     produce EXACTLY the flat-combinations result: many docs sharing
