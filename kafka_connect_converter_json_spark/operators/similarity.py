@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # The higher-order-function fold. r6 A/B note: an unrolled flat
+    # 64-term sum (element_at chain) measured 3-10x SLOWER everywhere —
+    # the giant expression tree defeats codegen and is evaluated
+    # interpreted per node — so the fold form is deliberate.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -467,7 +471,15 @@ def cosine_near_pairs(
         ]
     )
     # ids + buckets only through the self-join and distinct (see
-    # lsh_bucket_topk); vectors join back per distinct candidate pair
+    # lsh_bucket_topk); vectors join back per distinct candidate pair.
+    # r6 note: this parquet-rooted shape keeps every join a broadcast and
+    # the pipeline codegen'd. An A/B against a localCheckpoint'd
+    # banded_self_pairs variant (the minhash/simhash winner) measured the
+    # checkpoint form 5x WORSE here (ExistingRDD has no stats => the
+    # ~9.5M-pair stream sort-merge-joins its vector attaches), so this
+    # operator deliberately keeps the explode+distinct form — the sketch
+    # projection it recomputes per branch is cheap, unlike a signature
+    # aggregation.
     banded = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bucket"))
     banded = band_frequency_cut(banded, "bucket", max_bucket_freq)
     a = banded.select("bucket", F.col("id").alias("id_a"))
@@ -478,15 +490,28 @@ def cosine_near_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # r6: norms once per VECTOR (not twice per pair): _norm(v) is the
+    # identical deterministic fold either way, so cos is bit-for-bit
+    # unchanged while 2/3 of the per-pair fold work disappears (the
+    # exact re-check dominates this operator: 9.7s -> 5.6s at sf1.0).
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -354,6 +354,82 @@ def band_frequency_cut(banded: DataFrame, band_col: str, max_band_freq: int | No
     return banded.join(F.broadcast(hot), band_col, "left_anti")
 
 
+def banded_self_pairs(
+    per: DataFrame,
+    band_cols: list[str],
+    max_band_freq: int | None,
+    id_col: str = "id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct candidate pairs from a one-row-per-item table with one
+    column per LSH band — WITHOUT a pair-level ``.distinct()`` (r6).
+
+    The r2-r5 shape exploded the band columns into a (id, band) table,
+    df-cut it, self-joined, and deduped the pair stream with a distinct —
+    one full pair-stream shuffle + aggregation whose only job is removing
+    the <= ``len(band_cols)``-fold multiplicity. Instead: one self-join
+    per band, each filtered by "this pair did NOT already match in an
+    earlier KEPT band" (band values and hot flags ride along as a few
+    extra columns), which makes the per-band outputs disjoint by
+    construction, so the union IS the distinct candidate set. The hot-band
+    frequency cut keeps the exact ``band_frequency_cut`` semantics: a row
+    in a band whose frequency exceeds the cut does not join in that band,
+    and a hot earlier band does not suppress a later match.
+
+    ``carry`` columns are propagated to the output as ``<col>_a/<col>_b``
+    (e.g. the simhash value for the exact Hamming re-check).
+
+    Callers should ``localCheckpoint`` ``per`` first when it is the
+    product of an expensive aggregation: the helper references it
+    2*bands+1 times and Spark does not reuse unmaterialized subtrees
+    across join branches (measured: the signature aggregation ran 4x per
+    action in the exploded form — zero ReusedExchange nodes)."""
+    cut = max_band_freq
+    flags = []
+    for i, bc in enumerate(band_cols):
+        if cut is None:
+            per = per.withColumn(f"_hot{i}", F.lit(False))
+        else:
+            hot = (
+                per.groupBy(bc)
+                .agg(F.count(F.lit(1)).alias("_f"))
+                .filter(F.col("_f") > cut)
+                .select(bc, F.lit(True).alias(f"_ishot{i}"))
+            )
+            per = per.join(F.broadcast(hot), bc, "left").withColumn(
+                f"_hot{i}", F.coalesce(F.col(f"_ishot{i}"), F.lit(False))
+            ).drop(f"_ishot{i}")
+        flags.append(f"_hot{i}")
+
+    out = None
+    for i, bc in enumerate(band_cols):
+        a_cols = (
+            [F.col(bc).alias("_bk"), F.col(id_col).alias("id_a")]
+            + [F.col(band_cols[j]).alias(f"_b{j}_a") for j in range(i)]
+            + [F.col(flags[j]).alias(f"_h{j}_a") for j in range(i)]
+            + [F.col(c).alias(f"{c}_a") for c in carry]
+        )
+        b_cols = (
+            [F.col(bc).alias("_bk"), F.col(id_col).alias("id_b")]
+            + [F.col(band_cols[j]).alias(f"_b{j}_b") for j in range(i)]
+            + [F.col(c).alias(f"{c}_b") for c in carry]
+        )
+        a = per.filter(~F.col(flags[i])).select(*a_cols)
+        b = per.filter(~F.col(flags[i])).select(*b_cols)
+        pairs = a.join(b, "_bk").filter(F.col("id_a") < F.col("id_b"))
+        for j in range(i):
+            matched_earlier = F.coalesce(
+                (F.col(f"_b{j}_a") == F.col(f"_b{j}_b")) & ~F.col(f"_h{j}_a"),
+                F.lit(False),
+            )
+            pairs = pairs.filter(~matched_earlier)
+        pairs = pairs.select(
+            "id_a", "id_b", *[F.col(f"{c}_a") for c in carry], *[F.col(f"{c}_b") for c in carry]
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -367,24 +443,20 @@ def minhash_lsh_candidates(
     r = num_hashes/bands rows; docs sharing any full band are candidates.
     Matching probability for Jaccard s is 1-(1-s^r)^bands.
     ``max_band_freq`` bounds the per-band join fan-out (see
-    ``band_frequency_cut``)."""
+    ``band_frequency_cut``). r6: the signature table (O(docs) rows of
+    num_hashes short strings) is localCheckpoint'd so the expensive
+    shingle aggregation runs ONCE per action instead of once per join
+    branch, and pairs come from ``banded_self_pairs`` (no pair-stream
+    distinct)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_cols = [
-        F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * r + j}") for j in range(r)]).alias("band")
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * r + j}") for j in range(r)]).alias(f"_band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(F.col("id"), F.explode(F.array(*band_cols)).alias("band"))
-    banded = band_frequency_cut(banded, "band", max_band_freq)
-    a = banded.select("band", F.col("id").alias("id_a"))
-    b_ = banded.select("band", F.col("id").alias("id_b"))
-    return (
-        a.join(b_, "band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    per = sig.select(F.col("id"), *band_cols).localCheckpoint()
+    return banded_self_pairs(per, [f"_band{b}" for b in range(bands)], max_band_freq)
 
 
 def simhash(
@@ -461,20 +533,22 @@ def simhash_near_pairs(
         return v
 
     band_cols = [
-        F.concat_ws("|", F.lit(str(b)), _band_val(b).cast("string")).alias("band")
+        F.concat_ws("|", F.lit(str(b)), _band_val(b).cast("string")).alias(f"_band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("id", "simhash", F.explode(F.array(*band_cols)).alias("band"))
-    banded = band_frequency_cut(banded, "band", max_band_freq)
-    a = banded.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b_ = banded.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # r6: one-row-per-doc band columns + banded_self_pairs (no pair-level
+    # distinct); the simhash aggregation is localCheckpoint'd so the
+    # 64-vote groupBy runs once per action, not once per join branch.
+    per = sig.select("id", "simhash", *band_cols).localCheckpoint()
+    pairs = banded_self_pairs(
+        per, [f"_band{b}" for b in range(bands)], max_band_freq, carry=("simhash",)
+    )
     return (
-        a.join(b_, "band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
 
 
