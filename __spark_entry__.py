@@ -924,7 +924,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("representative"))
         .select("doc_id")
     )
-    survivors = d.join(kill, "doc_id", "left_anti")
+    # r6: materialize survivors once (localCheckpoint) — both the quality
+    # and lang-ID branches re-ran the whole scan+dedup+anti-join subtree
+    # (no subtree reuse across join branches), measured 8.1s -> 4.7s at
+    # sf1.0. A single-projection lang+quality variant was ALSO tried and
+    # measured SLOWER (10.1s): the pushed-down filter re-evaluates the
+    # whole regex battery below the projection (guide §4.4's duplication,
+    # here with built-ins), so the two-branch join over a materialized
+    # survivors table is the winning shape. At corpus scale this
+    # materialization is the natural pipeline-stage boundary (survivors
+    # feed every downstream branch).
+    survivors = d.join(kill, "doc_id", "left_anti").localCheckpoint()
     q = quality_score(survivors).select("doc_id", "quality")
     labeled = survivors.select("doc_id", lang_id_fn(F.col("text")).alias("lang"))
     out = (

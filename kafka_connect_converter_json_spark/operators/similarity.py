@@ -232,7 +232,13 @@ def lsh_bucket_topk(
             F.col(id_col).alias(idname), F.explode(buckets).alias("bucket")
         )
 
-    c = sketched(corpus, "neighbor_id")
+    # r6: the corpus bucket table is referenced by the frequency cut AND
+    # the probe join — localCheckpoint it so the tables*bits hyperplane
+    # folds run once per action instead of once per branch (ids+buckets
+    # only, O(corpus*tables) small rows). The probe and vector-attach
+    # joins keep their broadcast sides (explicit hint / parquet-backed
+    # estimates), so losing ExistingRDD stats costs nothing here.
+    c = sketched(corpus, "neighbor_id").localCheckpoint()
     if max_bucket_freq is not None:
         from .textdedup import band_frequency_cut
 

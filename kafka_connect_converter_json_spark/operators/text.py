@@ -65,8 +65,13 @@ def lang_id(text: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality-scoring feature projection: one pass, no shuffle."""
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quality-scoring feature projection: one pass, no shuffle. ``keep``
+    passes extra columns through (lets a composed pipeline compute e.g.
+    lang-ID and quality in ONE scan instead of joining two branches)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -82,13 +87,17 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.round(digits / safe, 6).alias("digit_ratio"),
         F.round(punct / safe, 6).alias("punct_ratio"),
         F.round(n_chars.cast("double") / F.greatest(toks, F.lit(1)), 6).alias("avg_token_len"),
+        *[F.col(k) for k in keep],
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Scalar quality score in [0,1]: weighted blend of the features —
     the length/punct/stopword heuristic family (Gopher-style rules)."""
-    f = quality_features(df, text_col, id_col)
+    f = quality_features(df, text_col, id_col, keep=keep)
     length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.0)
     score = F.round(
         0.4 * F.col("alpha_ratio")
@@ -96,7 +105,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))),
         6,
     )
-    return f.select(id_col, "n_chars", "n_tokens", score.alias("quality"))
+    return f.select(id_col, "n_chars", "n_tokens", score.alias("quality"), *keep)
 
 
 def normalize_text(text: Column) -> Column:

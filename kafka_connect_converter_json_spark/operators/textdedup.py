@@ -150,10 +150,13 @@ def ngram_jaccard_pairs(
             .cast("long")
             .alias("shingle"),
         )
-    sizes = df.select(
-        F.col(id_col).alias("id"),
-        F.size(shingle_array(F.col(text_col), n, dedupe=True)).alias("sz"),
-    ).filter(F.col("sz") > 0)
+    # set sizes as an aggregation of the (per-doc-distinct) exploded table
+    # — exactly the oracle's `sizes AS (SELECT id, count(*) FROM shh GROUP
+    # BY id)`. r6: the previous form re-ran the whole shingle pipeline as
+    # a second full-corpus projection inside ONE select (no CSE across
+    # the when/slice/zip_with references), measured 6.3s alone at sf1.0 —
+    # 6x the cost of the explode pass this aggregation shares.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_freq is not None:
         counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
