@@ -232,17 +232,17 @@ def lsh_bucket_topk(
             F.col(id_col).alias(idname), F.explode(buckets).alias("bucket")
         )
 
-    # r6: the corpus bucket table is referenced by the frequency cut AND
-    # the probe join — localCheckpoint it so the tables*bits hyperplane
-    # folds run once per action instead of once per branch (ids+buckets
-    # only, O(corpus*tables) small rows). The probe and vector-attach
-    # joins keep their broadcast sides (explicit hint / parquet-backed
-    # estimates), so losing ExistingRDD stats costs nothing here.
-    c = sketched(corpus, "neighbor_id").localCheckpoint()
+    c = sketched(corpus, "neighbor_id")
     if max_bucket_freq is not None:
         from .textdedup import band_frequency_cut
 
-        c = band_frequency_cut(c, "bucket", max_bucket_freq)
+        # r6: with a frequency cut the corpus bucket table is referenced
+        # by the cut aggregation AND the probe join — localCheckpoint it
+        # so the tables*bits hyperplane folds run once per action, not
+        # once per branch (ids+buckets only, O(corpus*tables) small
+        # rows). Without a cut it is consumed exactly once and the
+        # checkpoint would be pure overhead, so it is conditional.
+        c = band_frequency_cut(c.localCheckpoint(), "bucket", max_bucket_freq)
     q = sketched(queries, "query_id")
     cand = (
         c.join(F.broadcast(q), "bucket")

