@@ -122,13 +122,12 @@ def hyperplane_weights(bits: int, table: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _decimal_projection(vec, weights: list[float]):
+def _decimal_projection(vec, w):
     """sum_d decimal9(vec[d]*w[d]) as exact decimal — order-independent
     addition, so the sign (the sketch bit) is engine-reproducible. The
     double->decimal cast rounds the exact binary value to scale 9; with
     +/-1 weights the product is exactly +/-vec[d], so both engines
-    quantize the identical value."""
-    w = F.array(*[F.lit(x) for x in weights])
+    quantize the identical value. ``w`` is an array<double> Column."""
     terms = F.zip_with(
         vec, w, lambda x, wd: (x.cast("double") * wd).cast("decimal(28,9)")
     )
@@ -146,6 +145,44 @@ def _decimal_projection(vec, weights: list[float]):
 _SIGN_EPS = 1e-6
 
 
+def _sketch_sql(vec_name: str, bits: int, table: int, dim: int) -> str:
+    """The ``dim`` hyperplane sketch as ONE SQL expression string.
+
+    Semantically identical to the Column-API form below (same
+    zip_with/aggregate operation sequence, same float-first sign with
+    the decimal(38,9) boundary fallback — differential-tested equal),
+    but built with a single JVM parse instead of ~600 py4j round trips
+    per sketch: profiling showed ann_lsh spending 3.7s of DRIVER time
+    per build in py4j socket latency (19.7k calls) before any job ran —
+    a scale-independent cost the bench pays on every repeat."""
+    ws = hyperplane_weights(bits, table, dim)
+    col = f"`{vec_name}`"
+    parts = []
+    for h in range(bits):
+        arr = "array(" + ",".join("1.0D" if x > 0 else "-1.0D" for x in ws[h]) + ")"
+        pf = (
+            f"aggregate(zip_with({col}, {arr}, (x, wd) -> CAST(x AS DOUBLE) * wd), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        dec = (
+            f"aggregate(zip_with({col}, {arr}, "
+            "(x, wd) -> CAST(CAST(x AS DOUBLE) * wd AS DECIMAL(28,9))), "
+            "CAST(0 AS DECIMAL(38,9)), (acc, x) -> CAST(acc + x AS DECIMAL(38,9)))"
+        )
+        sign = (
+            f"CASE WHEN {pf} > 1.0E-6D THEN true WHEN {pf} < -1.0E-6D THEN false "
+            f"ELSE {dec} >= CAST(0 AS DECIMAL(38,9)) END"
+        )
+        parts.append(
+            f"(CASE WHEN {sign} THEN shiftleft(CAST(1 AS BIGINT), {h}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"({expr} | {p})"
+    return expr
+
+
 def hyperplane_sketch(vec, bits: int, table: int = 0, dim: int | None = None):
     """Deterministic random-hyperplane sign sketch: bit h of the sketch =
     sign of sum_d(w[h,d] * vec[d]).
@@ -158,21 +195,37 @@ def hyperplane_sketch(vec, bits: int, table: int = 0, dim: int | None = None):
     (VERDICT r2 #3: the all-decimal fold was the suite's cost center).
     Without ``dim`` (dynamic-width vectors): per-row xxhash64-derived
     weights and float fold — cheap and Spark-reproducible, but not
-    cross-engine-exact."""
+    cross-engine-exact.
+
+    ``vec`` may be a plain column NAME (str): with ``dim`` set this
+    takes the single-parse SQL fast path (``_sketch_sql``) — identical
+    values, ~600x fewer py4j calls at plan-build time."""
+    if isinstance(vec, str):
+        if dim is not None:
+            return F.expr(_sketch_sql(vec, bits, table, dim))
+        vec = F.col(vec)
     one = F.lit(1).cast("long")
 
     if dim is not None:
         ws = hyperplane_weights(bits, table, dim)
+        # r6: ONE array<array<double>> literal for the whole weight
+        # matrix, rows picked with element_at — the per-bit 64-literal
+        # CreateArray form cost thousands of py4j Column calls at
+        # DataFrame-BUILD time (measured 9.3s of driver time for
+        # ann_lsh's 4 tables x 4 bits before any job ran) and bloated
+        # the codegen'd projection. Same values, same zip_with/aggregate
+        # operation sequence => bit-for-bit identical sketches.
+        W = F.lit(ws)
 
         def bit(h: int):
-            w = F.array(*[F.lit(x) for x in ws[h]])
+            w = F.element_at(W, h + 1)
             pf = F.aggregate(
                 F.zip_with(vec, w, lambda x, wd: x.cast("double") * wd),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             sign = F.when(pf > _SIGN_EPS, True).when(pf < -_SIGN_EPS, False).otherwise(
-                _decimal_projection(vec, ws[h]) >= 0  # boundary rows only
+                _decimal_projection(vec, w) >= 0  # boundary rows only
             )
             return F.when(sign, F.shiftleft(one, h)).otherwise(F.lit(0).cast("long"))
     else:
@@ -223,7 +276,7 @@ def lsh_bucket_topk(
             *[
                 F.concat_ws(
                     ":", F.lit(str(t)),
-                    hyperplane_sketch(F.col(vec_col), bits, t, dim=dim).cast("string"),
+                    hyperplane_sketch(vec_col, bits, t, dim=dim).cast("string"),
                 )
                 for t in range(tables)
             ]
@@ -471,7 +524,7 @@ def cosine_near_pairs(
         *[
             F.concat_ws(
                 ":", F.lit(str(t)),
-                hyperplane_sketch(F.col(vec_col), bits, t, dim=dim).cast("string"),
+                hyperplane_sketch(vec_col, bits, t, dim=dim).cast("string"),
             )
             for t in range(tables)
         ]
