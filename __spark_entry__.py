@@ -111,10 +111,17 @@ def q_extract_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the native-mode payload mechanism, streaming/ingest.py), matching the
     oracle's to_json(props::JSON)."""
     ev = _ts(spark, sf_dir, "events")
+    # r6: ONE from_json per row instead of get_json_object + from_json —
+    # K comes off the parsed struct (props.k is a plain JSON integer in
+    # every generator SF, so the decimal string is identical to the raw
+    # token get_json_object returned; verified against the oracle at
+    # sf0.001/0.01 and by DuckDB scan of sf1.0); Catalyst CSE shares the
+    # single parse between K and PAYLOAD.
+    parsed = F.from_json("props", "k bigint")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("K"),
-        F.to_json(F.from_json("props", "k bigint")).alias("PAYLOAD"),
+        parsed["k"].cast("string").alias("K"),
+        F.to_json(parsed).alias("PAYLOAD"),
     )
 
 
@@ -1205,7 +1212,7 @@ def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     kept = F.filter(hdrs, lambda x: x != "")
-    return _t(spark, sf_dir, "documents").select(
+    return _ts(spark, sf_dir, "documents").select(
         "doc_id", F.array_join(F.concat(kept, stmts), "\n").alias("text")
     )
 

@@ -137,37 +137,46 @@ def remove_dup_spans(
         span_starts, lambda j: _h60(F.array_join(F.slice(toks, j + 1, k), " "))
     )
 
-    base = df.select(F.col(id_col), toks.alias("_toks"), spans.alias("_spans"))
-    exploded = base.select(F.col(id_col), F.explode("_spans").alias("h"))
+    # r6: materialize the tokenized+span-hashed table once — it feeds
+    # the census aggregate, the flagged-position join, AND the final
+    # per-doc projection, and the O(n*k) span-text+md5 construction was
+    # re-running once per branch.
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), spans.alias("_spans")
+    ).localCheckpoint()
+    exploded = base.select(
+        F.col(id_col), F.posexplode("_spans").alias("_pos", "h")
+    )
     dup = (
         exploded.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
         .select("h")
     )
-    doc_dup = (
-        exploded.join(dup, "h").groupBy(id_col).agg(F.collect_set("h").alias("_dup"))
+    # r6: duplicated-span POSITIONS per doc via a semi-join on the span
+    # hash (a native hash join) instead of collecting each doc's dup-hash
+    # set and probing it with an interpreted array_contains per span —
+    # the per-row O(|spans| x |dup-set|) lambda evaluation dominated this
+    # operator (90.7s at sf1.0; the whole query is now ~12s). Identical
+    # flagged positions, just computed where the engine is fast.
+    flagged_pos = (
+        exploded.join(dup, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_flag"))
     )
-
-    j = (
-        base.join(doc_dup, id_col, "left")
-        .withColumn("_dup", F.coalesce(F.col("_dup"), F.array().cast("array<long>")))
-    )
-    flagged = F.filter(
-        F.when(
-            F.size("_spans") >= 1, F.sequence(F.lit(0), F.size("_spans") - 1)
-        ).otherwise(F.array().cast("array<int>")),
-        lambda jj: F.array_contains(F.col("_dup"), F.get("_spans", jj)),
+    j = base.join(flagged_pos, id_col, "left").withColumn(
+        "_flag", F.coalesce(F.col("_flag"), F.array().cast("array<int>"))
     )
     covered = F.array_distinct(
-        F.flatten(F.transform(flagged, lambda jj: F.sequence(jj, jj + k - 1)))
+        F.flatten(F.transform("_flag", lambda jj: F.sequence(jj, jj + k - 1)))
     )
-    kept_idx = F.filter(
-        F.when(
-            F.size("_toks") >= 1, F.sequence(F.lit(0), F.size("_toks") - 1)
-        ).otherwise(F.array().cast("array<int>")),
-        lambda i: ~F.array_contains(covered, i),
-    )
+    # kept indices = index sequence minus covered — array_except keeps
+    # the left array's (ascending) order, exactly the old filter result,
+    # without a per-element array_contains lambda.
+    idx_seq = F.when(
+        F.size("_toks") >= 1, F.sequence(F.lit(0), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.array_except(idx_seq, covered)
     clean = F.array_join(F.transform(kept_idx, lambda i: F.get("_toks", i)), " ")
     return j.select(
         F.col(id_col),
@@ -255,29 +264,54 @@ def semantic_dedup(
     SemDeDup — so the join is an equi-join on the cell id; cosines are
     rounded to 4dp so the >= threshold decision is engine-portable.
     """
+    from .similarity import _dot, _norm
+
     cents = ivf_centroids(
         emb, n_centroids, id_col=id_col, vec_col=vec_col, lloyd_rounds=lloyd_rounds
     )
     darr = F.array(*[_sq_dist(F.col(vec_col), c) for c in cents])
+    # r6: carry each vector's norm (the identical deterministic fold,
+    # computed once per VECTOR) so the within-cell comparison pays ONE
+    # fold per pair instead of three, and express "has a smaller-id
+    # near-duplicate" as a LEFT SEMI self-join — the probe stops at the
+    # first satisfying neighbor instead of enumerating and distinct-ing
+    # every match (60.1s -> ~13s at sf1.0; per-pair cosines bit-identical,
+    # so the dup set is unchanged).
     assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
         (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("cell"),
+        _norm(F.col(vec_col)).alias("_nrm"),
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    # Salt the within-cell self-join (guide §2.5): with n_centroids=8
+    # the cell equi-key has EIGHT distinct values, so the whole
+    # quadratic comparison of each cell landed in one task (8 of 32
+    # cores busy, the largest cell a straggler). The probe side keys by
+    # (cell, hash(id) % S); the build side replicates S ways — the same
+    # pair predicate evaluates exactly once per (a, b), so the dup set
+    # is unchanged while the fold work spreads over 8*S tasks.
+    salt_n = 32
+    a = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n)).cast("int")
+    ).alias("a")
+    b = assigned.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt_n)]))
+    ).alias("b")
+    pair_cos = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        4,
+    )
     dup_ids = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            & (pair_cos >= threshold),
+            "left_semi",
         )
-        .where(
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
-            >= threshold
-        )
-        .select(F.col(f"a.{id_col}").alias("_dup_id"))
-        .distinct()
+        .select(F.col(id_col).alias("_dup_id"))
     )
     return (
         assigned.join(dup_ids, assigned[id_col] == dup_ids["_dup_id"], "left")

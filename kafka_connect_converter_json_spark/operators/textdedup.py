@@ -150,16 +150,25 @@ def ngram_jaccard_pairs(
             .cast("long")
             .alias("shingle"),
         )
-    # set sizes as an aggregation of the (per-doc-distinct) exploded table
-    # — exactly the oracle's `sizes AS (SELECT id, count(*) FROM shh GROUP
-    # BY id)`. r6: the previous form re-ran the whole shingle pipeline as
-    # a second full-corpus projection inside ONE select (no CSE across
-    # the when/slice/zip_with references), measured 6.3s alone at sf1.0 —
-    # 6x the cost of the explode pass this aggregation shares.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # r6: ONE explicit shuffle of the exploded table, reused by every
+    # consumer. The df-count, the cut anti-join input, and the id-list
+    # collect all need the table keyed by shingle; writing them as
+    # independent groupBys re-ran the scan->normalize->shingle->md5
+    # pipeline once per branch AND shuffled twice. `repartition(shingle)`
+    # makes the exchange subtree identical across branches, so Spark's
+    # exchange reuse materializes the shuffle once (ReusedExchange in the
+    # plan); the downstream aggregations then run exchange-free on the
+    # established partitioning, and `sizes` re-keys by id from the same
+    # reused shuffle output instead of rescanning the corpus.
+    shp = sh.repartition("shingle")
+    # sizes as an aggregation of the (per-doc-distinct) exploded table —
+    # exactly the oracle's `sizes AS (SELECT id, count(*) FROM shh GROUP
+    # BY id)`. (The r3-r5 form re-ran the whole shingle pipeline as a
+    # second full-corpus projection — 6.3s alone at sf1.0.)
+    sizes = shp.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_freq is not None:
-        counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        counts = shp.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         if cut_strategy == "broadcast_hot":
             # the cut's COMPLEMENT is the small side: shingles with
             # df > cut are the stopword-shingle set, bounded by
@@ -169,13 +178,13 @@ def ngram_jaccard_pairs(
             # shuffled ONCE (for the doc-id lists) instead of twice
             # (measured ~2x on the cut stage vs the semi-join form).
             hot = counts.filter(F.col("df") > max_shingle_freq).select("shingle")
-            kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            kept = shp.join(F.broadcast(hot), "shingle", "left_anti")
         else:
             # scale fallback for adversarial vocabularies where even the
             # hot set outgrows a broadcast: shuffle-semi-join against the
             # (vocabulary-sized) rare set
             rare = counts.filter(F.col("df") <= max_shingle_freq).select("shingle")
-            kept = sh.join(rare, "shingle", "left_semi")
+            kept = shp.join(rare, "shingle", "left_semi")
         # Exact AllPairs/PPJoin prefix+positional candidate generation
         # (r6, guide §1.2 "fix the distributed algorithm first"). The r3-r5
         # form enumerated EVERY co-occurring pair instance and counted them

@@ -151,12 +151,35 @@ def main() -> None:
 
     # 11. composed corpus pipeline: the dedup kill list is duplicate-
     # group-sized (tiny), so its anti-join must broadcast — the whole
-    # dedup filter is map-side against the corpus scan
+    # dedup filter is map-side against the corpus scan. r6: the final
+    # plan truncates at the survivors localCheckpoint (the anti-join
+    # executes inside the materialization job), so the anti-join shape
+    # is audited on the un-checkpointed survivors subplan and the final
+    # plan is asserted to read from the materialized table.
+    from kafka_connect_converter_json_spark.operators.text import normalize_text as _nt
+    from kafka_connect_converter_json_spark.operators.textdedup import (
+        exact_duplicates as _ed,
+    )
+    from pyspark.sql import functions as _F
+
+    _d = em._docs_with_dups(spark, sf_dir)
+    _kill = (
+        _d.select("doc_id", _F.md5(_nt(_F.col("text"))).alias("fp"))
+        .join(_ed(_d), "fp")
+        .filter(_F.col("doc_id") != _F.col("representative"))
+        .select("doc_id")
+    )
+    plan11a = formatted(_d.join(_kill, "doc_id", "left_anti"))
+    sections.append((
+        "Composed corpus pipeline: survivors subplan (broadcast kill-list anti-join)",
+        plan11a,
+        ["BroadcastHashJoin LeftAnti"],
+    ))
     plan11 = formatted(em.q_corpus_pipeline(spark, sf_dir))
     sections.append((
-        "Composed corpus pipeline (broadcast kill-list anti-join)",
+        "Composed corpus pipeline (tail over materialized survivors)",
         plan11,
-        ["BroadcastHashJoin LeftAnti"],
+        ["ExistingRDD"],
     ))
 
     # 12. exact cosine top-k is two-level: the level-1 window partitions
