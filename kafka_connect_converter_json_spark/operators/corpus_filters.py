@@ -363,7 +363,7 @@ def gopher_rules(
     )
     mean_word_len = F.round(word_chars / safe_words, 6)
     symbols = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^#]", ""))
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
         + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
     ).cast("long")
     symbol_ratio = F.round(symbols / safe_words, 6)
