@@ -242,7 +242,10 @@ def main() -> None:
     sections.append((
         "SemDeDup (cell-keyed equi-join for the quadratic compare)",
         plan17,
-        ["Left keys [1]: [cell#"],
+        # r6: the within-cell compare is salted (guide 2.5 - 8 distinct
+        # cells serialized the quadratic work into 8 tasks), so the
+        # equi-key is [cell, _salt]; still keyed, never nested-loop.
+        ["Left keys [2]: [cell#"],
     ))
 
     # 18. duplicate-span removal: like line dedup, the span census must
@@ -425,8 +428,11 @@ def main() -> None:
         not any(m in plan17 for m in ("BroadcastNestedLoopJoin", "CartesianProduct")),
     ))
     checks.append((
-        "Code filters", "no Exchange in any of the 4 plans",
-        "Exchange" not in plan19,
+        # r6: the scan-spread repartition (RoundRobin) is the ONLY
+        # exchange allowed - the claim is that no KEYED shuffle exists
+        # in any of the 4 filter plans (pure projections).
+        "Code filters", "no keyed shuffle in any of the 4 plans",
+        "hashpartitioning" not in plan19 and "rangepartitioning" not in plan19,
     ))
     span_exchanges = [
         ln for ln in plan18.splitlines() if "hashpartitioning(h#" in ln
