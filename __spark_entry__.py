@@ -665,7 +665,7 @@ def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> deterministic media table (text bytes as the opaque
     payload, kind from doc_id) — same construction both engines run."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    return _t(spark, sf_dir, "documents").select(
+    return _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
         F.encode("text", "utf-8").alias("payload"),

@@ -269,7 +269,9 @@ def semantic_dedup(
     cents = ivf_centroids(
         emb, n_centroids, id_col=id_col, vec_col=vec_col, lloyd_rounds=lloyd_rounds
     )
-    darr = F.array(*[_sq_dist(F.col(vec_col), c) for c in cents])
+    from .similarity import _sq_dist_array
+
+    darr = _sq_dist_array(vec_col, cents)
     # r6: carry each vector's norm (the identical deterministic fold,
     # computed once per VECTOR) so the within-cell comparison pays ONE
     # fold per pair instead of three, and express "has a smaller-id

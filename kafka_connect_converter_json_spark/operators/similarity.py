@@ -384,6 +384,25 @@ def _sq_dist(vec, centroid: list[float]):
     )
 
 
+def _sq_dist_sql(vec_name: str, centroid: list[float]) -> str:
+    """``_sq_dist`` as SQL text — identical zip_with/aggregate operation
+    sequence (repr() round-trips each double exactly), one JVM parse
+    instead of ~80 py4j calls per centroid (the sketch lesson, §_sketch_sql)."""
+    arr = "array(" + ",".join(f"{x!r}D" for x in centroid) + ")"
+    return (
+        f"round(aggregate(zip_with(`{vec_name}`, {arr}, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6)"
+    )
+
+
+def _sq_dist_array(vec_name: str, cents: list[list[float]]):
+    """The full K-distance array as ONE parsed SQL expression."""
+    return F.expr(
+        "array(" + ",".join(_sq_dist_sql(vec_name, c) for c in cents) + ")"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -404,16 +423,15 @@ def ivf_topk(
     ``lloyd_rounds`` refines the codebook (see ``ivf_centroids``)."""
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, lloyd_rounds)
 
-    def dist_array(vec):
-        return F.array(*[_sq_dist(vec, c) for c in cents])
-
     # materialize the K-distance array once per row (a second reference
     # would recompute the whole K x dim expression — no CSE across
-    # projections), then argmin with first-min tiebreak
+    # projections), then argmin with first-min tiebreak. r6: the array
+    # is one parsed SQL expression (_sq_dist_array) — same values, no
+    # per-literal py4j build cost.
     cells = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            dist_array(F.col(vec_col)).alias("_d"),
+            _sq_dist_array(vec_col, cents).alias("_d"),
         )
         .select(
             "neighbor_id",
@@ -425,7 +443,7 @@ def ivf_topk(
     # whole K x dim expression per centroid index
     probes = queries.select(
         F.col(id_col).alias("query_id"),
-        dist_array(F.col(vec_col)).alias("_qd"),
+        _sq_dist_array(vec_col, cents).alias("_qd"),
     ).select(
         "query_id",
         F.explode(
