@@ -504,26 +504,23 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", h)
-    one = F.lit(1).cast("long")
     # r6: branchless bit-count form — sum the extracted bit ((h>>b)&1)
     # instead of a conditional +/-1 per (token, bit), plus one count(*).
     # Bit b is set iff 2*cnt_b > n, which is exactly vote_b > 0 for
     # integer counts (A/B-equal on the full corpus, ~20% faster: the
     # when() branch per token*bit was the aggregation's hot path).
-    votes = [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(one)).alias(f"c{b}")
+    # The whole aggregate is rendered as ONE SQL string parsed JVM-side:
+    # the per-bit Column construction (64 sums + a 64-term OR tree) cost
+    # ~1.4 s of driver py4j round trips per DataFrame build, at every
+    # data scale (guide §7.3; same pathology as the LSH sketch builder).
+    # Catalyst extracts the 64 sum()s + count(1) into the aggregate node
+    # and evaluates the OR tree in the post-aggregation projection —
+    # the physical aggregate is identical to the per-Column form.
+    terms = " | ".join(
+        f"if(sum(shiftrightunsigned(h, {b}) & 1L) * 2L > count(1), shiftleft(1L, {b}), 0L)"
         for b in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *votes)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        # bitwise OR accumulation — safe for the sign bit (b=63)
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"c{b}") * 2 > F.col("_n"), F.shiftleft(one, b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return agg.select("id", sim.alias("simhash"))
+    )
+    return toks.groupBy("id").agg(F.expr(f"({terms})").alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -135,6 +135,35 @@ def test_simhash_md5_token_hash_matches_hashlib(spark):
     assert got == expect
 
 
+def test_simhash_sql_form_matches_reference_votes(spark):
+    """The r6 single-SQL-expression aggregate (64 branchless sums parsed
+    JVM-side) must equal the per-bit majority-vote reference on docs with
+    many tokens, including exact vote TIES (2*cnt == n -> bit clear,
+    identical to vote <= 0 in the signed-vote formulation)."""
+    import hashlib
+
+    texts = {
+        1: "one two three four five six seven eight nine ten " * 7,
+        2: "aa bb",  # 2 tokens: any bit where they differ is an exact tie
+        3: "solo",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.id: r.simhash for r in td.simhash(df).collect()}
+    for doc_id, text in texts.items():
+        votes = [0] * 64
+        for tok in text.split():
+            u = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (u >> b) & 1 else -1
+        expect_u = sum(1 << b for b in range(64) if votes[b] > 0)
+        expect = expect_u - (1 << 64) if expect_u >= (1 << 63) else expect_u
+        assert got[doc_id] == expect, doc_id
+    # doc 2 must actually exercise the tie branch somewhere
+    ua = int(hashlib.md5(b"aa").hexdigest()[:16], 16)
+    ub = int(hashlib.md5(b"bb").hexdigest()[:16], 16)
+    assert ua ^ ub != 0  # differing bits exist -> ties occurred
+
+
 def test_band_frequency_cut_bounds_fanout(spark):
     """A degenerate band shared by many ids must be dropped by the cap."""
     rows = [(i, "hot") for i in range(50)] + [(100, "cold"), (101, "cold")]
